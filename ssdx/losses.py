@@ -1,0 +1,72 @@
+"""Multibox loss: Smooth-L1 localization + hard-negative-mined cross-entropy.
+
+TPU-native replacement for the reference's loss path (SSD_trainer.py:108 and
+``CELoss_w_neg_mining`` :551-600).  The reference mines hard negatives with a
+per-image Python loop + ``torch.topk``; here the whole batch is handled with a
+rank-based mask (double argsort) so the computation is a fixed-shape, fully
+fused device program — no host round trips, no dynamic shapes.
+
+Semantics preserved:
+  * loc loss: SmoothL1 (beta=1), summed over positive priors, / total_pos,
+    total_pos = clamp(sum(pos), 1)  (SSD_trainer.py:104-108).
+  * conf loss: CE of all positives + top-(ratio * n_pos_i) hardest negatives
+    per image (``int`` floor like the reference, :590); images with zero
+    positives still mine int(ratio) negatives (:586-588).
+  * returned as (ce_pos + ce_neg) / total_pos  (:600).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["smooth_l1", "cross_entropy_per_prior", "multibox_loss"]
+
+
+def smooth_l1(x: jnp.ndarray, beta: float = 1.0) -> jnp.ndarray:
+    """Elementwise Smooth-L1 (Huber) matching torch's smooth_l1_loss."""
+    ax = jnp.abs(x)
+    return jnp.where(ax < beta, 0.5 * ax * ax / beta, ax - 0.5 * beta)
+
+
+def cross_entropy_per_prior(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Per-prior CE: logits [B, P, C], labels [B, P] int -> [B, P] float32."""
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    picked = jnp.take_along_axis(logits, labels[..., None], axis=-1)[..., 0]
+    return logz - picked
+
+
+def multibox_loss(
+    loc_pred: jnp.ndarray,  # [B, P, 4]
+    cls_logits: jnp.ndarray,  # [B, P, C]
+    loc_target: jnp.ndarray,  # [B, P, 4]
+    cls_target: jnp.ndarray,  # [B, P] int (0 = background)
+    pos_mask: jnp.ndarray,  # [B, P] bool
+    neg_pos_ratio: float = 3.0,
+):
+    """Return (total, loc_loss, conf_loss), each a float32 scalar."""
+    posf = pos_mask.astype(jnp.float32)
+    num_pos = jnp.sum(posf, axis=1)  # [B]
+    total_pos = jnp.clip(jnp.sum(num_pos), 1.0, None)
+
+    # ---- localization (positives only) ----
+    l1 = jnp.sum(smooth_l1(loc_pred - loc_target), axis=-1)  # [B, P]
+    loc_loss = jnp.sum(l1 * posf) / total_pos
+
+    # ---- classification with hard-negative mining ----
+    ce = cross_entropy_per_prior(cls_logits, cls_target)  # [B, P]
+    ce_pos = jnp.sum(ce * posf)
+
+    # Rank negatives per image by CE descending; positives pushed to the end.
+    neg_ce = jnp.where(pos_mask, -jnp.inf, ce)
+    order = jnp.argsort(-neg_ce, axis=1)
+    rank = jnp.argsort(order, axis=1)  # rank[b, p] = position of p in sort
+    max_negs = jnp.where(
+        num_pos == 0.0,
+        jnp.float32(int(neg_pos_ratio)),
+        jnp.floor(neg_pos_ratio * num_pos),
+    )  # [B]
+    neg_keep = (rank < max_negs[:, None]) & ~pos_mask
+    ce_neg = jnp.sum(jnp.where(neg_keep, ce, 0.0))
+
+    conf_loss = (ce_pos + ce_neg) / total_pos
+    return loc_loss + conf_loss, loc_loss, conf_loss
