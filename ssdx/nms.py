@@ -1,0 +1,80 @@
+"""Batched, fixed-shape greedy DIoU non-maximum suppression.
+
+TPU-native replacement for the reference's data-dependent NMS
+(``mySSD.iou_nms`` SSD_from_scratch.py:664-692: a Python while-loop with a
+shrinking survivor set) and the per-class contiguous-block loop inside
+``predict`` (:439-462).
+
+Design: score-sort once, compute the [N, N] DIoU matrix once, then run the
+exact greedy recurrence as a ``lax.fori_loop`` over a boolean keep vector —
+fixed shapes, no host sync, vmap-able over the batch.  Per-class NMS uses the
+standard class-offset trick: boxes are translated by ``label * offset`` so
+cross-class pairs can never suppress each other (their DIoU is ~-1).
+
+Suppression metric is DIoU to match the reference code (it calls
+``distance_box_iou`` even though its README says CIoU; SURVEY §2.3 item 4).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import pairwise_diou
+
+__all__ = ["nms_mask", "batched_nms_mask"]
+
+_CLASS_OFFSET = 4096.0  # > any coordinate magnitude used (boxes live in [0, 300])
+
+
+def nms_mask(
+    boxes: jnp.ndarray,  # [N, 4] xyxy
+    scores: jnp.ndarray,  # [N]
+    valid: jnp.ndarray,  # [N] bool
+    iou_threshold: float,
+    labels: jnp.ndarray | None = None,  # [N] int; None => class-agnostic
+) -> jnp.ndarray:
+    """Return a bool keep mask (original index space) for greedy DIoU-NMS.
+
+    A box j is suppressed iff some kept, higher-scoring box i has
+    DIoU(i, j) > iou_threshold — identical semantics to the reference's
+    ``iou_vals <= iou_threshold`` survivor filter (SSD_from_scratch.py:690).
+    """
+    n = boxes.shape[0]
+    neg = jnp.where(valid, scores, -jnp.inf)
+    order = jnp.argsort(-neg)  # descending; invalid sink to the end
+
+    b = boxes[order]
+    if labels is not None:
+        b = b + labels[order].astype(b.dtype)[:, None] * _CLASS_OFFSET
+    v = valid[order]
+
+    diou = pairwise_diou(b, b)  # [N, N]
+    after = jnp.triu(jnp.ones((n, n), bool), k=1)  # j strictly after i
+    sup = (diou > iou_threshold) & after
+
+    def body(i, keep):
+        return keep & ~(sup[i] & keep[i])
+
+    keep_sorted = jax.lax.fori_loop(0, n, body, v)
+
+    # Scatter back to original index order.
+    keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
+    return keep
+
+
+@partial(jax.jit, static_argnames=("iou_threshold", "class_aware"))
+def batched_nms_mask(
+    boxes: jnp.ndarray,  # [B, N, 4]
+    scores: jnp.ndarray,  # [B, N]
+    valid: jnp.ndarray,  # [B, N]
+    labels: jnp.ndarray,  # [B, N]
+    iou_threshold: float,
+    class_aware: bool = True,
+) -> jnp.ndarray:
+    """vmap of :func:`nms_mask` over the batch dimension."""
+    fn = lambda b, s, v, l: nms_mask(
+        b, s, v, iou_threshold, l if class_aware else None
+    )
+    return jax.vmap(fn)(boxes, scores, valid, labels)

@@ -1,0 +1,133 @@
+"""Jitted batched detection post-processing (the reference's ``predict``).
+
+TPU-native replacement for ``mySSD.predict`` (SSD_from_scratch.py:338-476),
+which runs a per-image Python loop with boolean indexing, variable-size
+survivor sets, and per-class NMS blocks.  Here the whole batch is one compiled
+program with fixed shapes:
+
+  1. softmax over class logits, drop background column         (:388)
+  2. top-K (prior, class) candidates by score per image — replaces the
+     reference's ragged ``keep_mask.nonzero`` survivor gather   (:402-412)
+  3. decode only those K priors to 300x300-pixel xyxy, clamped  (:419-426)
+  4. batched greedy DIoU-NMS (per-class via class offsets)      (:433-462)
+  5. score-sort, truncate to ``max_per_img``                    (:463-465)
+
+Outputs are fixed-size padded arrays plus a validity mask; ``to_pylist``
+converts to the reference's ragged list-of-dicts contract
+({labels 0-based, scores, boxes xyxy in 300x300 coords}).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import boxes as B
+from .model import IMAGE_SIZE
+from .nms import nms_mask
+
+__all__ = ["Detections", "postprocess", "to_pylist"]
+
+
+class Detections(NamedTuple):
+    """Fixed-size padded detections for a batch.
+
+    boxes:  [B, D, 4] xyxy in 300x300 pixel coords.
+    scores: [B, D] float32.
+    labels: [B, D] int32 0-based foreground ids (0..C-2).
+    valid:  [B, D] bool.
+    """
+
+    boxes: jnp.ndarray
+    scores: jnp.ndarray
+    labels: jnp.ndarray
+    valid: jnp.ndarray
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "score_thresh",
+        "nms_thresh",
+        "max_per_img",
+        "class_agnostic",
+        "top_k_candidates",
+        "variances",
+    ),
+)
+def postprocess(
+    loc_all: jnp.ndarray,  # [B, P, 4]
+    conf_all: jnp.ndarray,  # [B, P, C]
+    priors_cxcywh: jnp.ndarray,  # [P, 4]
+    score_thresh: float = 0.2,
+    nms_thresh: float = 0.5,
+    max_per_img: int = 100,
+    class_agnostic: bool = False,
+    top_k_candidates: int = 400,
+    variances: tuple[float, float] = (0.1, 0.2),
+) -> Detections:
+    """Decode + threshold + NMS for a whole batch in one compiled program."""
+    if not (0.0 <= score_thresh < 1.0):
+        raise ValueError(f"score_thresh must be in [0, 1), got {score_thresh}")
+    if not (0.0 < nms_thresh < 1.0):
+        raise ValueError(f"nms_thresh must be in (0, 1), got {nms_thresh}")
+
+    Bsz, P, C = conf_all.shape
+    n_fg = C - 1
+    K = min(top_k_candidates, P * n_fg)
+
+    scores_all = jax.nn.softmax(conf_all, axis=-1)[..., 1:]  # [B, P, C-1]
+
+    def one_image(scores_pc, loc):
+        flat = scores_pc.reshape(-1)  # [P * n_fg]
+        top_scores, top_idx = jax.lax.top_k(flat, K)
+        prior_idx = top_idx // n_fg
+        cls_idx = (top_idx % n_fg).astype(jnp.int32)
+        valid = top_scores > score_thresh
+
+        pri = priors_cxcywh[prior_idx]  # [K, 4]
+        dec = B.decode(loc[prior_idx], pri, variances)  # cxcywh normalized
+        xyxy = jnp.clip(B.cxcywh_to_xyxy(dec), 0.0, 1.0) * IMAGE_SIZE
+
+        keep = nms_mask(
+            xyxy,
+            top_scores,
+            valid,
+            nms_thresh,
+            None if class_agnostic else cls_idx,
+        )
+        kept_scores = jnp.where(keep & valid, top_scores, -1.0)
+        final_scores, sel = jax.lax.top_k(kept_scores, max_per_img)
+        return (
+            xyxy[sel],
+            jnp.where(final_scores > 0, final_scores, 0.0),
+            cls_idx[sel],
+            final_scores > 0,
+        )
+
+    boxes, scores, labels, valid = jax.vmap(one_image)(scores_all, loc_all)
+    return Detections(boxes=boxes, scores=scores, labels=labels, valid=valid)
+
+
+def to_pylist(det: Detections) -> list[dict]:
+    """Convert padded :class:`Detections` to the reference's ragged contract:
+    a list of ``{"labels", "scores", "boxes"}`` numpy dicts per image
+    (SSD_from_scratch.py:359-364, 472-474)."""
+    boxes = np.asarray(det.boxes)
+    scores = np.asarray(det.scores)
+    labels = np.asarray(det.labels)
+    valid = np.asarray(det.valid)
+    out = []
+    for b in range(boxes.shape[0]):
+        m = valid[b]
+        out.append(
+            {
+                "labels": labels[b][m].astype(np.int64),
+                "scores": scores[b][m].astype(np.float32),
+                "boxes": boxes[b][m].astype(np.float32),
+            }
+        )
+    return out

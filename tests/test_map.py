@@ -1,0 +1,90 @@
+import numpy as np
+
+from ssdx.eval.map import MeanAP
+
+
+def _box(x, y, w=10, h=10):
+    return [x, y, x + w, y + h]
+
+
+def test_perfect_predictions_map_one():
+    m = MeanAP()
+    gt = [{"boxes": np.array([_box(0, 0), _box(50, 50)]), "labels": np.array([0, 1])}]
+    pred = [{"boxes": np.array([_box(0, 0), _box(50, 50)]),
+             "scores": np.array([0.9, 0.8]), "labels": np.array([0, 1])}]
+    m.update(pred, gt)
+    out = m.compute()
+    assert np.isclose(out["map_50"], 1.0)
+    np.testing.assert_allclose(out["map_per_class"], [1.0, 1.0])
+
+
+def test_no_predictions_map_zero():
+    m = MeanAP()
+    gt = [{"boxes": np.array([_box(0, 0)]), "labels": np.array([0])}]
+    pred = [{"boxes": np.zeros((0, 4)), "scores": np.zeros(0), "labels": np.zeros(0, int)}]
+    m.update(pred, gt)
+    assert m.compute()["map_50"] == 0.0
+
+
+def test_wrong_class_is_fp():
+    m = MeanAP()
+    gt = [{"boxes": np.array([_box(0, 0)]), "labels": np.array([0])}]
+    pred = [{"boxes": np.array([_box(0, 0)]), "scores": np.array([0.9]),
+             "labels": np.array([1])}]
+    m.update(pred, gt)
+    out = m.compute()
+    # class 0: no detection -> AP 0.  class 1: no GT -> excluded (-1).
+    assert out["map_50"] == 0.0
+    assert out["map_per_class"].tolist() == [0.0, -1.0]
+
+
+def test_half_precision_case():
+    # 1 GT, 2 detections (1 TP @higher score, 1 FP): PR = (1.0@r=1 after tp first)
+    m = MeanAP()
+    gt = [{"boxes": np.array([_box(0, 0)]), "labels": np.array([0])}]
+    pred = [{"boxes": np.array([_box(0, 0), _box(200, 200)]),
+             "scores": np.array([0.9, 0.8]), "labels": np.array([0, 0])}]
+    m.update(pred, gt)
+    # TP first: precision at recall 1.0 is 1.0 -> AP = 1.0 (envelope)
+    assert np.isclose(m.compute()["map_50"], 1.0)
+
+    m.reset()
+    pred = [{"boxes": np.array([_box(200, 200), _box(0, 0)]),
+             "scores": np.array([0.9, 0.8]), "labels": np.array([0, 0])}]
+    m.update(pred, gt)
+    # FP first: precision at recall 1.0 is 0.5 -> AP = 0.5
+    assert np.isclose(m.compute()["map_50"], 0.5)
+
+
+def test_double_detection_second_is_fp():
+    m = MeanAP()
+    gt = [{"boxes": np.array([_box(0, 0)]), "labels": np.array([0])}]
+    pred = [{"boxes": np.array([_box(0, 0), _box(1, 1)]),
+             "scores": np.array([0.9, 0.8]), "labels": np.array([0, 0])}]
+    m.update(pred, gt)
+    out = m.compute()
+    assert np.isclose(out["map_50"], 1.0)  # recall hit at rank 1; envelope keeps 1.0
+
+
+def test_iou_below_threshold_is_fp():
+    m = MeanAP()
+    gt = [{"boxes": np.array([_box(0, 0)]), "labels": np.array([0])}]
+    pred = [{"boxes": np.array([_box(8, 8)]), "scores": np.array([0.9]),
+             "labels": np.array([0])}]  # IoU = 4/196 << 0.5
+    m.update(pred, gt)
+    assert m.compute()["map_50"] == 0.0
+
+
+def test_multi_image_accumulation():
+    m = MeanAP()
+    for i in range(4):
+        gt = [{"boxes": np.array([_box(0, 0)]), "labels": np.array([0])}]
+        ok = i < 2  # half the images predicted correctly
+        px = 0 if ok else 100
+        pred = [{"boxes": np.array([_box(px, px)]), "scores": np.array([0.9 - i * 0.1]),
+                 "labels": np.array([0])}]
+        m.update(pred, gt)
+    out = m.compute()
+    # 2 TPs then 2 FPs in score order; recall tops at 0.5 with precision 1.0
+    # -> 101-pt AP ≈ mean of 1.0 on [0,0.5] grid points and 0 beyond
+    assert 0.49 < out["map_50"] < 0.52
