@@ -1,0 +1,209 @@
+"""Host input pipeline: threaded JPEG decode -> fixed-shape batches ->
+device-side augmentation, with double-buffered prefetch.
+
+Replaces the reference's torch DataLoader machinery (SSD_model_train.ipynb
+cell 2: num_workers=8, persistent_workers, prefetch_factor=2, pin_memory,
+``collate_detection`` SSD_trainer.py:806-813) with a TPU-oriented design:
+
+  * host threads (cv2 releases the GIL) decode JPEGs to a fixed source size
+    and assemble *fixed-shape* uint8 batches with padded GT + validity masks
+    — the collate step, but with static shapes so everything downstream is
+    one compiled program;
+  * the uint8 batch is shipped to device (sharded over the data mesh axis if
+    a mesh is given) and the fused augmentation / preprocessing kernel
+    (ssdx/data/augment.py) runs there, producing the final
+    :class:`~ssdx.train.step.Batch`;
+  * a one-deep background prefetch overlaps host decode + H2D copy with the
+    train step (the double-buffering of BASELINE "configs").
+
+Bootstrap oversampling (SSD_model_train.ipynb cell 2): file repetition by
+object count — 0 objects x1, 1-2 x2, 3-6 x3, 7-9 x4, >=10 x5.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, NamedTuple
+
+import jax
+import numpy as np
+
+from ..train.step import Batch
+from .augment import AugmentConfig, augment_batch, preprocess_batch
+from .dataset import DetectionDataset
+
+__all__ = ["bootstrap_repeats", "bootstrap_indices", "DetectionLoader", "LoadedBatch"]
+
+
+def bootstrap_repeats(n_boxes: int) -> int:
+    """Oversampling factor by object count (SSD_model_train.ipynb cell 2)."""
+    if n_boxes == 0:
+        return 1
+    if n_boxes <= 2:
+        return 2
+    if n_boxes <= 6:
+        return 3
+    if n_boxes <= 9:
+        return 4
+    return 5
+
+
+def bootstrap_indices(dataset: DetectionDataset) -> np.ndarray:
+    """Index list with each image repeated by its bootstrap factor."""
+    out = []
+    for i in range(len(dataset)):
+        _, labels = dataset.annotations(i)
+        out.extend([i] * bootstrap_repeats(len(labels)))
+    return np.asarray(out, np.int64)
+
+
+class LoadedBatch(NamedTuple):
+    batch: Batch
+    count: int  # number of real (non-padded) images in this batch
+
+
+class DetectionLoader:
+    """Iterable over :class:`LoadedBatch` for one dataset.
+
+    train=True: shuffled (fresh permutation per epoch), optional bootstrap
+    oversampling, partial trailing batch dropped, device-side augmentation.
+    train=False: deterministic order, trailing batch padded by wrap-around
+    (``count`` marks the real images), resize+normalize only.
+    """
+
+    def __init__(
+        self,
+        dataset: DetectionDataset,
+        batch_size: int,
+        train: bool,
+        source_size: int = 512,
+        max_boxes: int = 64,
+        num_workers: int = 8,
+        seed: int = 724,
+        bootstrap: bool = False,
+        augment_cfg: AugmentConfig | None = None,
+        mesh=None,
+        prefetch: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.train = train
+        self.source_size = source_size
+        self.max_boxes = max_boxes
+        self.num_workers = num_workers
+        self.seed = seed
+        self.bootstrap = bootstrap
+        self.augment_cfg = augment_cfg if augment_cfg is not None else AugmentConfig()
+        self.mesh = mesh
+        self.prefetch = prefetch
+        self._epoch = 0
+        self._base_indices = (
+            bootstrap_indices(dataset) if (train and bootstrap) else np.arange(len(dataset))
+        )
+        self._pool = ThreadPoolExecutor(max_workers=num_workers)
+        self._key = jax.random.key(seed)
+
+    def __len__(self) -> int:
+        n = len(self._base_indices)
+        return n // self.batch_size if self.train else -(-n // self.batch_size)
+
+    # ---- host side ----
+
+    def _load_one(self, idx: int):
+        img = self.dataset.load_image(int(idx))
+        boxes, labels = self.dataset.annotations(int(idx))
+        h, w = img.shape[:2]
+        s = self.source_size
+        if (h, w) != (s, s):
+            import cv2
+
+            img = cv2.resize(img, (s, s), interpolation=cv2.INTER_AREA)
+            boxes = boxes * np.array([s / w, s / h, s / w, s / h], np.float32)
+        return img, boxes, labels
+
+    def _assemble(self, idxs: np.ndarray) -> tuple[np.ndarray, ...]:
+        B, s, G = self.batch_size, self.source_size, self.max_boxes
+        images = np.zeros((B, s, s, 3), np.uint8)
+        boxes = np.zeros((B, G, 4), np.float32)
+        labels = np.zeros((B, G), np.int32)
+        valid = np.zeros((B, G), bool)
+        results = list(self._pool.map(self._load_one, idxs))
+        for j, (img, bx, lb) in enumerate(results):
+            images[j] = img
+            n = min(len(lb), G)
+            boxes[j, :n] = bx[:n]
+            labels[j, :n] = lb[:n]
+            valid[j, :n] = True
+        return images, boxes, labels, valid
+
+    def _epoch_indices(self) -> np.ndarray:
+        idx = self._base_indices
+        if self.train:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            idx = rng.permutation(idx)
+        return idx
+
+    # ---- device side ----
+
+    def _to_device(self, arrays, key) -> Batch:
+        images_u8, boxes, labels, valid = arrays
+        if self.mesh is not None:
+            from ..mesh import batch_sharding
+
+            sharding = batch_sharding(self.mesh)
+            put = lambda x: jax.device_put(x, sharding)
+        else:
+            put = jax.device_put
+        images_u8, boxes, labels, valid = map(put, (images_u8, boxes, labels, valid))
+        if self.train:
+            img, b01, lb, vd = augment_batch(
+                key, images_u8, boxes, labels, valid, self.augment_cfg
+            )
+        else:
+            img, b01 = preprocess_batch(images_u8, boxes)
+            lb, vd = labels, valid
+        return Batch(images=img, gt_boxes=b01, gt_labels=lb, gt_valid=vd)
+
+    def _batches(self) -> Iterator[LoadedBatch]:
+        idx = self._epoch_indices()
+        B = self.batch_size
+        n = len(idx)
+        stop = (n // B) * B if self.train else n
+        for start in range(0, stop, B):
+            chunk = idx[start : start + B]
+            count = len(chunk)
+            if count < B:  # eval tail: wrap-around padding
+                chunk = np.concatenate([chunk, idx[: B - count]])
+            self._key, sub = jax.random.split(self._key)
+            yield LoadedBatch(self._to_device(self._assemble(chunk), sub), count)
+        self._epoch += 1
+
+    def __iter__(self) -> Iterator[LoadedBatch]:
+        if not self.prefetch:
+            yield from self._batches()
+            return
+        # one-deep background prefetch: overlap decode+H2D with the consumer
+        q: queue.Queue = queue.Queue(maxsize=2)
+        sentinel = object()
+        err: list[BaseException] = []
+
+        def producer():
+            try:
+                for item in self._batches():
+                    q.put(item)
+            except BaseException as e:  # propagate into the consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]

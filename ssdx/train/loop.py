@@ -38,6 +38,13 @@ from .checkpoint import save_checkpoint
 __all__ = ["fit", "evaluate", "merge_results"]
 
 
+def _unpack(item):
+    """Accept either a bare Batch or a pipeline LoadedBatch(batch, count)."""
+    if hasattr(item, "batch") and hasattr(item, "count"):
+        return item.batch, int(item.count)
+    return item, int(item.images.shape[0])
+
+
 def merge_results(d1: dict, d2: dict) -> dict:
     """Key-wise concatenation of two homogeneous results dicts; the
     ``epochs`` key takes d2's value (reference merge_dicts_preserve_order,
@@ -78,14 +85,16 @@ def evaluate(
     losses = {"loss": 0.0, "loss_loc": 0.0, "loss_conf": 0.0}
     n_batches = 0
     t_pred = 0.0
-    for batch in loader:
+    for item in loader:
+        batch, count = _unpack(item)
         t0 = time.perf_counter()
         metrics, det = eval_step(state, batch)
         det.valid.block_until_ready()
         t_pred += time.perf_counter() - t0
         for k in losses:
             losses[k] += float(metrics[k])
-        metric.update(to_pylist(det), _targets_for_map(batch))
+        # trim wrap-around padded tail images before metric accumulation
+        metric.update(to_pylist(det)[:count], _targets_for_map(batch)[:count])
         n_batches += 1
     n = max(n_batches, 1)
     t0 = time.perf_counter()
@@ -152,7 +161,8 @@ def fit(
         t_data = 0.0
         t_step = 0.0
         t0 = time.perf_counter()
-        for batch in train_loader_fn():
+        for item in train_loader_fn():
+            batch, _ = _unpack(item)
             t1 = time.perf_counter()
             t_data += t1 - t0
             state, metrics = train_step(state, batch)
