@@ -1,0 +1,223 @@
+"""HTTP demo app: browser upload -> side-by-side detection PNG.
+
+Same route surface and contract as the reference FastAPI app
+(app_files/ssd_demo_app.py): ``GET /`` HTML upload page (:39-165),
+``GET /model-card`` (:169-211), ``GET /examples`` (:216-276),
+``POST /predict`` multipart image -> PNG bytes (:281-300), ``GET /static/*``
+(:21-23), listening on ``$PORT`` default 8080 (:16-18).  The model is
+constructed once at server start (module import in the reference, :26-36)
+with the hardcoded 5-class Udacity map.
+
+FastAPI/uvicorn are not available in this environment, so the app is built on
+the stdlib ``http.server`` (threaded); the HTTP contract is identical.
+"""
+from __future__ import annotations
+
+import email
+import email.policy
+import io
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+__all__ = ["CLASS_TO_IDX", "create_detector", "create_server", "main"]
+
+# Hardcoded deployment class map (ssd_demo_app.py:26-28)
+CLASS_TO_IDX = {"biker": 0, "car": 1, "pedestrian": 2, "trafficLight": 3, "truck": 4}
+
+DEFAULT_WEIGHTS = "saved_models/best.weights"
+
+_INDEX_HTML = """<!doctype html>
+<html><head><title>SSDX — TPU SSD300 demo</title>
+<style>
+ body {{ font-family: sans-serif; max-width: 900px; margin: 2rem auto; }}
+ .panel {{ border: 1px solid #ccc; border-radius: 8px; padding: 1rem; }}
+ img {{ max-width: 100%; }}
+ nav a {{ margin-right: 1rem; }}
+</style></head>
+<body>
+<nav><a href="/">Home</a><a href="/model-card">Model card</a>
+<a href="/examples">Examples</a></nav>
+<h1>SSD300 object detection (TPU-native)</h1>
+<p>Upload a street-scene image; the detector returns the original and the
+annotated image side by side.</p>
+<div class="panel">
+  <input type="file" id="file" accept="image/*">
+  <button onclick="run()">Detect</button>
+  <p id="status"></p>
+  <img id="result">
+</div>
+<script>
+async function run() {{
+  const f = document.getElementById('file').files[0];
+  if (!f) {{ document.getElementById('status').textContent = 'pick a file first'; return; }}
+  const fd = new FormData();
+  fd.append('file', f);
+  document.getElementById('status').textContent = 'running…';
+  const r = await fetch('/predict', {{ method: 'POST', body: fd }});
+  if (!r.ok) {{ document.getElementById('status').textContent = 'error ' + r.status; return; }}
+  const blob = await r.blob();
+  document.getElementById('result').src = URL.createObjectURL(blob);
+  document.getElementById('status').textContent = 'done';
+}}
+</script>
+</body></html>"""
+
+_MODEL_CARD_HTML = """<!doctype html>
+<html><head><title>Model card — SSDX</title></head>
+<body style="font-family:sans-serif;max-width:900px;margin:2rem auto">
+<nav><a href="/">Home</a></nav>
+<h1>Model card</h1>
+<ul>
+<li><b>Architecture:</b> SSD300 — VGG16+BatchNorm backbone, 6 multibox
+feature heads, 8732 priors.</li>
+<li><b>Framework:</b> ssdx (JAX/XLA, TPU-native), NHWC, jit-compiled
+inference with batched DIoU-NMS.</li>
+<li><b>Classes:</b> biker, car, pedestrian, trafficLight, truck.</li>
+<li><b>Training data:</b> Udacity self-driving car dataset (~29.8k images,
+~195k boxes).</li>
+<li><b>Eval:</b> mAP@0.5 on a held-out stratified group split.</li>
+<li><b>Thresholds:</b> score 0.2, NMS (DIoU) 0.3, max 100 detections.</li>
+</ul>
+</body></html>"""
+
+
+def create_detector(weights_path: str | os.PathLike | None = None):
+    """Build the serving Detector, loading exported weights when present."""
+    from ..api import Detector
+
+    weights_path = Path(weights_path or DEFAULT_WEIGHTS)
+    if weights_path.exists():
+        return Detector.from_weights(weights_path, CLASS_TO_IDX)
+    return Detector(CLASS_TO_IDX)
+
+
+def _parse_multipart(headers, body: bytes) -> bytes | None:
+    """Extract the first file part from a multipart/form-data body."""
+    ctype = headers.get("Content-Type", "")
+    if "multipart/form-data" not in ctype:
+        return None
+    msg = email.message_from_bytes(
+        b"Content-Type: " + ctype.encode() + b"\r\n\r\n" + body,
+        policy=email.policy.default,
+    )
+    for part in msg.iter_parts():
+        if part.get_filename() or part.get_param("name", header="content-disposition") == "file":
+            return part.get_payload(decode=True)
+    return None
+
+
+def create_server(
+    detector=None,
+    host: str = "0.0.0.0",
+    port: int | None = None,
+    static_dir: str | os.PathLike | None = None,
+    score_thresh: float = 0.2,
+    nms_thresh: float = 0.3,
+    max_per_img: int = 100,
+    target_height: int = 512,
+) -> ThreadingHTTPServer:
+    """Build (but don't start) the threaded HTTP server."""
+    from PIL import Image
+
+    from ..viz import side_by_side_prediction
+
+    if detector is None:
+        detector = create_detector()
+    if port is None:
+        port = int(os.environ.get("PORT", "8080"))
+    static_root = Path(static_dir) if static_dir else Path(__file__).parent / "static"
+    lock = threading.Lock()  # single in-flight prediction (one accelerator)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/" or self.path == "/index.html":
+                self._send(200, _INDEX_HTML.encode(), "text/html; charset=utf-8")
+            elif self.path == "/model-card":
+                self._send(200, _MODEL_CARD_HTML.encode(), "text/html; charset=utf-8")
+            elif self.path == "/examples":
+                self._send(200, self._examples_html().encode(), "text/html; charset=utf-8")
+            elif self.path.startswith("/static/"):
+                self._serve_static(self.path[len("/static/"):])
+            elif self.path == "/healthz":
+                self._send(200, b"ok", "text/plain")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def _examples_html(self) -> str:
+            imgs = []
+            if static_root.is_dir():
+                imgs = sorted(
+                    p.name
+                    for p in static_root.iterdir()
+                    if p.suffix.lower() in (".jpg", ".jpeg", ".png")
+                )
+            tags = "\n".join(f'<img src="/static/{n}" width="400">' for n in imgs)
+            return (
+                "<!doctype html><html><body style='font-family:sans-serif'>"
+                "<nav><a href='/'>Home</a></nav><h1>Examples</h1>"
+                + (tags or "<p>No example images bundled.</p>")
+                + "</body></html>"
+            )
+
+        def _serve_static(self, rel: str):
+            target = (static_root / rel).resolve()
+            if not str(target).startswith(str(static_root.resolve())) or not target.is_file():
+                self._send(404, b"not found", "text/plain")
+                return
+            ctype = {
+                ".jpg": "image/jpeg", ".jpeg": "image/jpeg", ".png": "image/png",
+                ".css": "text/css", ".js": "text/javascript",
+            }.get(target.suffix.lower(), "application/octet-stream")
+            self._send(200, target.read_bytes(), ctype)
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send(404, b"not found", "text/plain")
+                return
+            length = int(self.headers.get("Content-Length", "0"))
+            body = self.rfile.read(length)
+            payload = _parse_multipart(self.headers, body)
+            if payload is None:  # also accept a raw image body
+                payload = body
+            try:
+                pil_img = Image.open(io.BytesIO(payload)).convert("RGB")
+            except Exception:
+                self._send(400, b"could not decode image", "text/plain")
+                return
+            with lock:
+                combined = side_by_side_prediction(
+                    detector,
+                    pil_img=pil_img,
+                    score_thresh=score_thresh,
+                    nms_thresh=nms_thresh,
+                    max_per_img=max_per_img,
+                    target_height=target_height,
+                )
+            buf = io.BytesIO()
+            combined.save(buf, format="PNG")
+            self._send(200, buf.getvalue(), "image/png")
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main() -> None:
+    server = create_server()
+    host, port = server.server_address[:2]
+    print(f"ssdx demo app listening on http://{host}:{port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

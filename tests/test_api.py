@@ -1,0 +1,61 @@
+import numpy as np
+import pytest
+
+from ssdx.api import Detector
+
+CLASSES = {"biker": 0, "car": 1, "pedestrian": 2, "trafficLight": 3, "truck": 4}
+
+
+@pytest.fixture(scope="module")
+def det():
+    return Detector(CLASSES)
+
+
+def test_class_maps(det):
+    assert det.num_classes == 6
+    assert det.idx_to_class[1] == "car"
+    assert det.img_h == det.img_w == 300
+
+
+def test_predict_with_precomputed_logits(det):
+    rng = np.random.default_rng(0)
+    loc = rng.normal(0, 0.2, (2, 8732, 4)).astype(np.float32)
+    conf = rng.normal(0, 0.2, (2, 8732, 6)).astype(np.float32)
+    conf[..., 0] += 5.0
+    conf[0, 17, 2] += 12.0  # one confident 'pedestrian'
+    preds = det.predict(pre_loc_all=loc, pre_conf_all=conf,
+                        score_thresh=0.2, nms_thresh=0.3)
+    assert len(preds) == 2
+    assert preds[0]["labels"].dtype == np.int64
+    assert 1 in preds[0]["labels"] or len(preds[0]["labels"]) >= 1
+    assert preds[0]["boxes"].shape[1] == 4
+    assert preds[0]["boxes"].max() <= 300.0
+
+
+def test_predict_requires_input(det):
+    with pytest.raises(ValueError):
+        det.predict()
+
+
+def test_weights_roundtrip(det, tmp_path):
+    from ssdx.train.checkpoint import save_params
+
+    p = save_params(det.variables["params"], det.variables["batch_stats"],
+                    tmp_path / "w.weights")
+    det2 = Detector.from_weights(p, CLASSES)
+    a = np.asarray(next(iter(
+        np.asarray(x) for x in
+        [det.variables["params"]["ConvBNRelu_0"]["Conv_0"]["kernel"]])))
+    b = np.asarray(det2.variables["params"]["ConvBNRelu_0"]["Conv_0"]["kernel"])
+    np.testing.assert_allclose(a, b)
+
+
+def test_preprocess_pil(det):
+    from PIL import Image
+
+    img = Image.new("RGB", (640, 480), (128, 128, 128))
+    x = det.preprocess_pil(img)
+    assert x.shape == (1, 300, 300, 3)
+    # 128/255 normalized by ImageNet stats
+    exp = (128 / 255 - 0.485) / 0.229
+    assert abs(x[0, 150, 150, 0] - exp) < 1e-2

@@ -1,0 +1,84 @@
+"""HTTP tests for the demo app with a stub detector (no model compile)."""
+import io
+import threading
+
+import httpx
+import numpy as np
+import pytest
+from PIL import Image
+
+from ssdx.serve.app import CLASS_TO_IDX, create_server
+
+
+class StubDetector:
+    """Detector stand-in: fixed predictions, no JAX involved."""
+
+    idx_to_class = {v: k for k, v in CLASS_TO_IDX.items()}
+    class_to_idx = CLASS_TO_IDX
+
+    def predict_pil(self, pil_img, **kwargs):
+        return {
+            "labels": np.array([1], np.int64),
+            "scores": np.array([0.9], np.float32),
+            "boxes": np.array([[50, 50, 150, 150]], np.float32),
+        }
+
+
+@pytest.fixture(scope="module")
+def server_url(tmp_path_factory):
+    static = tmp_path_factory.mktemp("static")
+    Image.new("RGB", (32, 32), (255, 0, 0)).save(static / "example1.jpg")
+    server = create_server(StubDetector(), host="127.0.0.1", port=0, static_dir=static)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    server.shutdown()
+
+
+def test_index(server_url):
+    r = httpx.get(server_url + "/")
+    assert r.status_code == 200
+    assert "text/html" in r.headers["content-type"]
+    assert "/predict" in r.text
+
+
+def test_model_card(server_url):
+    r = httpx.get(server_url + "/model-card")
+    assert r.status_code == 200
+    assert "SSD300" in r.text
+
+
+def test_examples_lists_static(server_url):
+    r = httpx.get(server_url + "/examples")
+    assert r.status_code == 200
+    assert "example1.jpg" in r.text
+
+
+def test_static_serving_and_traversal_guard(server_url):
+    assert httpx.get(server_url + "/static/example1.jpg").status_code == 200
+    assert httpx.get(server_url + "/static/../app.py").status_code == 404
+
+
+def test_predict_returns_png(server_url):
+    buf = io.BytesIO()
+    Image.new("RGB", (320, 240), (0, 128, 255)).save(buf, format="JPEG")
+    r = httpx.post(
+        server_url + "/predict",
+        files={"file": ("street.jpg", buf.getvalue(), "image/jpeg")},
+    )
+    assert r.status_code == 200
+    assert r.headers["content-type"] == "image/png"
+    out = Image.open(io.BytesIO(r.content))
+    # side-by-side: height 512, width = 2 * round(512 * 320/240)
+    assert out.height == 512
+    assert out.width == 2 * round(512 * 320 / 240)
+
+
+def test_predict_bad_payload(server_url):
+    r = httpx.post(server_url + "/predict", content=b"not an image")
+    assert r.status_code == 400
+
+
+def test_404(server_url):
+    assert httpx.get(server_url + "/nope").status_code == 404
