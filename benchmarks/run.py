@@ -1,0 +1,212 @@
+"""Benchmark suite: the five BASELINE.json configs.
+
+Each benchmark prints one JSON line {"metric", "value", "unit", ...}.
+
+  1. single   — SSD300 single-image inference + DIoU NMS on CPU
+                (the demo-app serving path)
+  2. batched  — batched SSD300 inference bs=32 with prior decode +
+                per-class NMS (the headline metric; also repo-root bench.py)
+  3. augment  — the fused augmentation pipeline (zoom-out/IoU-crop/resize +
+                photometric), bs=16, device-side
+  4. train    — SSD300 train step bs=16: matching + multibox loss + hard
+                negative mining + backward + SGD update
+  5. e2e      — full end-to-end training throughput over a real data dir
+                (requires --data-dir pointing at a preprocessed train dir)
+
+Usage: ``python benchmarks/run.py [single|batched|augment|train|e2e|all]``
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _timeit(fn, n_warmup=2, n_iters=20):
+    for _ in range(n_warmup):
+        out = fn()
+    _block(out)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = fn()
+    _block(out)
+    return (time.perf_counter() - t0) / n_iters
+
+
+def _block(out):
+    import jax
+
+    jax.tree.map(
+        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x, out
+    )
+
+
+def _model_and_priors(dtype=None):
+    import jax
+    import jax.numpy as jnp
+
+    from ssdx import priors as P
+    from ssdx.model import SSD300
+
+    model = SSD300(num_classes=6, dtype=dtype or jnp.bfloat16)
+    variables = model.init_variables(jax.random.key(0), batch_size=1)
+    pri = P.create_priors()
+    return model, variables, jnp.asarray(pri), jnp.asarray(P.priors_xyxy(pri))
+
+
+def bench_single() -> dict:
+    """Config 1: single-image latency on CPU (serving path)."""
+    import jax
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        import jax.numpy as jnp
+
+        from ssdx.predict import postprocess
+
+        model, variables, priors, _ = _model_and_priors(dtype=jnp.float32)
+
+        @jax.jit
+        def infer(variables, images):
+            loc, conf = model.apply(variables, images, train=False)
+            return postprocess(loc, conf, priors, score_thresh=0.2,
+                               nms_thresh=0.3, max_per_img=100)
+
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.normal(0, 1, (1, 300, 300, 3)).astype(np.float32))
+        dt = _timeit(lambda: infer(variables, img), n_iters=10)
+    return {"metric": "ssd300_single_image_cpu_latency", "value": round(dt * 1e3, 2),
+            "unit": "ms"}
+
+
+def bench_batched(batch_size: int = 32) -> dict:
+    """Config 2: batched inference + decode + per-class NMS."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssdx.predict import postprocess
+
+    model, variables, priors, _ = _model_and_priors()
+
+    @jax.jit
+    def infer(variables, images):
+        loc, conf = model.apply(variables, images, train=False)
+        return postprocess(loc, conf, priors, score_thresh=0.2,
+                           nms_thresh=0.3, max_per_img=100)
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(0, 1, (batch_size, 300, 300, 3)).astype(np.float32))
+    dt = _timeit(lambda: infer(variables, imgs), n_iters=30)
+    return {"metric": f"ssd300_batched_inference_bs{batch_size}",
+            "value": round(batch_size / dt, 2), "unit": "images/sec"}
+
+
+def bench_augment(batch_size: int = 16) -> dict:
+    """Config 3: fused augmentation chain on device."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssdx.data.augment import AugmentConfig, augment_batch
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 255, (batch_size, 512, 512, 3), np.uint8))
+    lo = rng.uniform(0, 300, (batch_size, 16, 2)).astype(np.float32)
+    sz = rng.uniform(20, 150, (batch_size, 16, 2)).astype(np.float32)
+    boxes = jnp.asarray(np.concatenate([lo, np.minimum(lo + sz, 512)], -1))
+    labels = jnp.asarray(rng.integers(0, 5, (batch_size, 16)).astype(np.int32))
+    valid = jnp.asarray(np.ones((batch_size, 16), bool))
+    cfg = AugmentConfig()
+    key = jax.random.key(0)
+
+    dt = _timeit(lambda: augment_batch(key, imgs, boxes, labels, valid, cfg),
+                 n_iters=30)
+    return {"metric": f"augment_pipeline_bs{batch_size}",
+            "value": round(batch_size / dt, 2), "unit": "images/sec"}
+
+
+def bench_train(batch_size: int = 16) -> dict:
+    """Config 4: full train step (matching + loss + backward + update)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssdx.train.schedule import build_optimizer
+    from ssdx.train.step import Batch, create_train_state, make_train_step
+
+    model, _, priors, priors_xyxy = _model_and_priors()
+    tx, _ = build_optimizer(steps_per_epoch=100)
+    state = create_train_state(model, tx, jax.random.key(0))
+    step = make_train_step(model, tx, priors, priors_xyxy, iou_thresh=0.4)
+
+    rng = np.random.default_rng(0)
+    lo = rng.uniform(0.1, 0.6, (batch_size, 16, 2)).astype(np.float32)
+    sz = rng.uniform(0.05, 0.3, (batch_size, 16, 2)).astype(np.float32)
+    batch = Batch(
+        images=jnp.asarray(rng.normal(0, 1, (batch_size, 300, 300, 3)).astype(np.float32)),
+        gt_boxes=jnp.asarray(np.concatenate([lo, np.minimum(lo + sz, 1.0)], -1)),
+        gt_labels=jnp.asarray(rng.integers(0, 5, (batch_size, 16)).astype(np.int32)),
+        gt_valid=jnp.asarray(np.ones((batch_size, 16), bool)),
+    )
+
+    # functional timing loop: thread state through, then block
+    holder = {"state": state}
+
+    def one():
+        holder["state"], metrics = step(holder["state"], batch)
+        return metrics
+
+    dt = _timeit(one, n_warmup=3, n_iters=20)
+    return {"metric": f"ssd300_train_step_bs{batch_size}",
+            "value": round(batch_size / dt, 2), "unit": "images/sec"}
+
+
+def bench_e2e(data_dir: str, epochs: int = 1) -> dict:
+    """Config 5: end-to-end training throughput on a real dataset dir."""
+    import dataclasses
+
+    from ssdx.config import Config
+    from ssdx.data.dataset import DetectionDataset
+    from ssdx.train.run import run
+
+    ds = DetectionDataset(data_dir)
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, train_dir=data_dir),
+        train=dataclasses.replace(cfg.train, save_dir="/tmp/ssdx_bench_ckpt"),
+    )
+    t0 = time.perf_counter()
+    run(cfg, epochs=epochs, resume=False, log=lambda s: None)
+    dt = time.perf_counter() - t0
+    return {"metric": "e2e_training_epoch", "value": round(dt, 2),
+            "unit": f"sec/epoch ({len(ds)} images)"}
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("which", nargs="?", default="all",
+                    choices=["single", "batched", "augment", "train", "e2e", "all"])
+    ap.add_argument("--data-dir", help="required for e2e")
+    args = ap.parse_args(argv)
+
+    runs = []
+    if args.which in ("single", "all"):
+        runs.append(bench_single)
+    if args.which in ("batched", "all"):
+        runs.append(bench_batched)
+    if args.which in ("augment", "all"):
+        runs.append(bench_augment)
+    if args.which in ("train", "all"):
+        runs.append(bench_train)
+    if args.which == "e2e":
+        if not args.data_dir:
+            raise SystemExit("e2e requires --data-dir")
+        runs.append(lambda: bench_e2e(args.data_dir))
+
+    for fn in runs:
+        print(json.dumps(fn()))
+
+
+if __name__ == "__main__":
+    main()

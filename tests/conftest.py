@@ -18,3 +18,8 @@ import jax  # noqa: E402
 # installed; config-level selection also skips the TPU plugin's slow init.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+# Persistent compilation cache: the SSD300 fwd+bwd CPU compile is expensive;
+# cache it across pytest invocations.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_ssdx_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
