@@ -36,18 +36,21 @@ def main() -> None:
             loc, conf, priors, score_thresh=0.2, nms_thresh=0.3, max_per_img=100
         )
 
+    # Pre-stage DISTINCT input batches: repeated identical dispatches can be
+    # cached/elided by the device transport, inflating throughput.
     rng = np.random.default_rng(0)
-    images = jnp.asarray(
-        rng.normal(0, 1, (batch_size, 300, 300, 3)).astype(np.float32)
-    )
+    n_iters = 30
+    batches = [
+        jnp.asarray(rng.normal(0, 1, (batch_size, 300, 300, 3)).astype(np.float32))
+        for _ in range(n_iters)
+    ]
 
     # warmup / compile
-    det = infer(variables, images)
+    det = infer(variables, batches[0])
     det.valid.block_until_ready()
 
-    n_iters = 30
     t0 = time.perf_counter()
-    for _ in range(n_iters):
+    for images in batches:
         det = infer(variables, images)
     det.valid.block_until_ready()
     dt = time.perf_counter() - t0
