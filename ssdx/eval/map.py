@@ -13,11 +13,15 @@ the same COCO evaluation protocol restricted to a single IoU threshold:
   * map = mean over classes that have at least one GT box; classes without
     GT report -1 (torchmetrics convention).
 
-Metric accumulation is host-side numpy (it is not a hot path; SURVEY §2.4).
+Metric accumulation is host-side; the O(n_det x n_gt) greedy matching inner
+loop uses the native C++ kernel (ssdx/ops/native, the analog of pycocotools'
+C backend) when a compiler is available, with a numpy fallback.
 """
 from __future__ import annotations
 
 import numpy as np
+
+from ..ops import native as _native
 
 __all__ = ["MeanAP"]
 
@@ -83,6 +87,14 @@ class MeanAP:
             rows = self._rows.setdefault(c, [])
             if len(gt_idx) == 0:
                 rows.extend((float(scores[d]), False) for d in order)
+                continue
+            if _native.available():
+                tp = _native.match_detections(
+                    boxes[order], gt_boxes[gt_idx], self.iou_threshold
+                )
+                rows.extend(
+                    (float(scores[d]), bool(t)) for d, t in zip(order, tp)
+                )
                 continue
             iou = _iou_matrix(boxes[order], gt_boxes[gt_idx])
             matched = np.zeros(len(gt_idx), bool)
