@@ -5,20 +5,24 @@ TPU-native replacement for the reference's data-dependent NMS
 shrinking survivor set) and the per-class contiguous-block loop inside
 ``predict`` (:439-462).
 
-Design: score-sort once, compute the [N, N] DIoU matrix once, then solve the
-greedy recurrence by *alternating-fixpoint suppression* instead of N serial
-steps: iterate ``suppressed(j) = any i<j alive with DIoU(i,j) > thresh`` to a
-fixpoint.  The fixpoint IS the exact greedy solution (each iteration settles
-at least one more position of the score-sorted order; suppression chains in
-real detections are short, so it converges in a handful of iterations), and
-each iteration is one masked [N, N] reduction — compiler-friendly vector work
-on the VPU rather than a latency-bound serial loop.  Fixed shapes, no host
-sync, vmap-able over the batch.  Per-class NMS uses the standard class-offset
-trick: boxes are translated by ``label * offset`` so cross-class pairs can
-never suppress each other (their DIoU is ~-1).
+Design: score-sort once (batched argsort), then solve the greedy recurrence
+by *alternating-fixpoint suppression* instead of N serial steps: iterate
+``suppressed(j) = any i<j alive with DIoU(i,j) > thresh`` to a fixpoint.  The
+fixpoint IS the exact greedy solution (each iteration settles at least one
+more position of the score-sorted order; suppression chains in real
+detections are short, so it converges in a handful of iterations), and each
+iteration is one masked [N, N] reduction — compiler-friendly vector work
+rather than a latency-bound serial loop.  Fixed shapes, no host sync.
 
-Suppression metric is DIoU to match the reference code (it calls
-``distance_box_iou`` even though its README says CIoU; SURVEY §2.3 item 4).
+Two numerically identical backends for the core:
+  * ``backend="xla"``    — jnp ops under vmap (works everywhere);
+  * ``backend="pallas"`` — the batched masked-scan TPU kernel
+    (ssdx/ops/pallas_nms.py): DIoU matrix + fixpoint entirely in VMEM.
+
+Per-class NMS uses the standard class-offset trick: boxes are translated by
+``label * offset`` so cross-class pairs can never suppress each other (their
+DIoU is ~-1).  Suppression metric is DIoU to match the reference code (its
+README says CIoU but the code calls ``distance_box_iou``; SURVEY §2.3).
 """
 from __future__ import annotations
 
@@ -34,36 +38,19 @@ __all__ = ["nms_mask", "batched_nms_mask"]
 _CLASS_OFFSET = 4096.0  # > any coordinate magnitude used (boxes live in [0, 300])
 
 
-def nms_mask(
-    boxes: jnp.ndarray,  # [N, 4] xyxy
-    scores: jnp.ndarray,  # [N]
-    valid: jnp.ndarray,  # [N] bool
-    iou_threshold: float,
-    labels: jnp.ndarray | None = None,  # [N] int; None => class-agnostic
-) -> jnp.ndarray:
-    """Return a bool keep mask (original index space) for greedy DIoU-NMS.
+def _core_sorted_xla(b: jnp.ndarray, v: jnp.ndarray, thresh: float) -> jnp.ndarray:
+    """Fixpoint suppression for ONE image of score-sorted boxes.
 
+    b: [N, 4]; v: [N] bool; returns keep mask in sorted order.
     A box j is suppressed iff some kept, higher-scoring box i has
-    DIoU(i, j) > iou_threshold — identical semantics to the reference's
+    DIoU(i, j) > thresh — identical semantics to the reference's
     ``iou_vals <= iou_threshold`` survivor filter (SSD_from_scratch.py:690).
     """
-    n = boxes.shape[0]
-    neg = jnp.where(valid, scores, -jnp.inf)
-    order = jnp.argsort(-neg)  # descending; invalid sink to the end
-
-    b = boxes[order]
-    if labels is not None:
-        b = b + labels[order].astype(b.dtype)[:, None] * _CLASS_OFFSET
-    v = valid[order]
-
+    n = b.shape[0]
     diou = pairwise_diou(b, b)  # [N, N]
     after = jnp.triu(jnp.ones((n, n), bool), k=1)  # j strictly after i
-    sup = (diou > iou_threshold) & after & v[:, None]
+    sup = (diou > thresh) & after & v[:, None]
 
-    # Alternating fixpoint: s_{k+1}(j) = any i<j with ~s_k(i) and sup[i, j].
-    # Fixpoint == exact greedy NMS; after k iterations the first k levels of
-    # the suppression DAG are settled, so it terminates in <= n steps and in
-    # practice in a few.
     def cond(state):
         s, changed, it = state
         return changed & (it < n)
@@ -75,24 +62,63 @@ def nms_mask(
 
     init = jnp.any(sup, axis=0)  # assume everyone alive
     s, _, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True), 1))
-    keep_sorted = v & ~s
-
-    # Scatter back to original index order.
-    keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
-    return keep
+    return v & ~s
 
 
-@partial(jax.jit, static_argnames=("iou_threshold", "class_aware"))
+@partial(jax.jit, static_argnames=("iou_threshold", "class_aware", "backend"))
 def batched_nms_mask(
-    boxes: jnp.ndarray,  # [B, N, 4]
+    boxes: jnp.ndarray,  # [B, N, 4] xyxy
     scores: jnp.ndarray,  # [B, N]
-    valid: jnp.ndarray,  # [B, N]
-    labels: jnp.ndarray,  # [B, N]
+    valid: jnp.ndarray,  # [B, N] bool
+    labels: jnp.ndarray | None,  # [B, N] int; None => class-agnostic
     iou_threshold: float,
     class_aware: bool = True,
+    backend: str = "xla",
 ) -> jnp.ndarray:
-    """vmap of :func:`nms_mask` over the batch dimension."""
-    fn = lambda b, s, v, l: nms_mask(
-        b, s, v, iou_threshold, l if class_aware else None
-    )
-    return jax.vmap(fn)(boxes, scores, valid, labels)
+    """Bool keep mask [B, N] (original index space) for greedy DIoU-NMS."""
+    Bsz, n = scores.shape
+    if class_aware and labels is not None:
+        boxes = boxes + labels.astype(boxes.dtype)[..., None] * _CLASS_OFFSET
+
+    neg = jnp.where(valid, scores, -jnp.inf)
+    order = jnp.argsort(-neg, axis=1)  # descending; invalid sink to the end
+    b = jnp.take_along_axis(boxes, order[..., None], axis=1)
+    v = jnp.take_along_axis(valid, order, axis=1)
+
+    if backend == "pallas":
+        from .ops.pallas_nms import nms_core_sorted
+
+        keep_sorted = nms_core_sorted(b, v, iou_threshold)
+    elif backend == "pallas_interpret":  # CPU testing path
+        from .ops.pallas_nms import nms_core_sorted
+
+        keep_sorted = nms_core_sorted(b, v, iou_threshold, interpret=True)
+    else:
+        keep_sorted = jax.vmap(lambda bb, vv: _core_sorted_xla(bb, vv, iou_threshold))(
+            b, v
+        )
+
+    # Scatter back to original index order (batched).
+    keep = jnp.zeros((Bsz, n), bool)
+    rows = jnp.arange(Bsz)[:, None]
+    return keep.at[rows, order].set(keep_sorted)
+
+
+def nms_mask(
+    boxes: jnp.ndarray,  # [N, 4]
+    scores: jnp.ndarray,  # [N]
+    valid: jnp.ndarray,  # [N]
+    iou_threshold: float,
+    labels: jnp.ndarray | None = None,
+    backend: str = "xla",
+) -> jnp.ndarray:
+    """Single-image convenience wrapper around :func:`batched_nms_mask`."""
+    return batched_nms_mask(
+        boxes[None],
+        scores[None],
+        valid[None],
+        None if labels is None else labels[None],
+        iou_threshold,
+        class_aware=labels is not None,
+        backend=backend,
+    )[0]

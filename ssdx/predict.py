@@ -27,7 +27,7 @@ import numpy as np
 
 from . import boxes as B
 from .model import IMAGE_SIZE
-from .nms import nms_mask
+from .nms import batched_nms_mask
 
 __all__ = ["Detections", "postprocess", "to_pylist"]
 
@@ -56,6 +56,7 @@ class Detections(NamedTuple):
         "class_agnostic",
         "top_k_candidates",
         "variances",
+        "nms_backend",
     ),
 )
 def postprocess(
@@ -68,6 +69,7 @@ def postprocess(
     class_agnostic: bool = False,
     top_k_candidates: int = 400,
     variances: tuple[float, float] = (0.1, 0.2),
+    nms_backend: str = "xla",
 ) -> Detections:
     """Decode + threshold + NMS for a whole batch in one compiled program."""
     if not (0.0 <= score_thresh < 1.0):
@@ -81,7 +83,7 @@ def postprocess(
 
     scores_all = jax.nn.softmax(conf_all, axis=-1)[..., 1:]  # [B, P, C-1]
 
-    def one_image(scores_pc, loc):
+    def gather(scores_pc, loc):
         flat = scores_pc.reshape(-1)  # [P * n_fg]
         top_scores, top_idx = jax.lax.top_k(flat, K)
         prior_idx = top_idx // n_fg
@@ -91,25 +93,30 @@ def postprocess(
         pri = priors_cxcywh[prior_idx]  # [K, 4]
         dec = B.decode(loc[prior_idx], pri, variances)  # cxcywh normalized
         xyxy = jnp.clip(B.cxcywh_to_xyxy(dec), 0.0, 1.0) * IMAGE_SIZE
+        return xyxy, top_scores, cls_idx, valid
 
-        keep = nms_mask(
-            xyxy,
-            top_scores,
-            valid,
-            nms_thresh,
-            None if class_agnostic else cls_idx,
-        )
-        kept_scores = jnp.where(keep & valid, top_scores, -1.0)
-        final_scores, sel = jax.lax.top_k(kept_scores, max_per_img)
-        return (
-            xyxy[sel],
-            jnp.where(final_scores > 0, final_scores, 0.0),
-            cls_idx[sel],
-            final_scores > 0,
-        )
+    xyxy, top_scores, cls_idx, valid = jax.vmap(gather)(scores_all, loc_all)
 
-    boxes, scores, labels, valid = jax.vmap(one_image)(scores_all, loc_all)
-    return Detections(boxes=boxes, scores=scores, labels=labels, valid=valid)
+    keep = batched_nms_mask(
+        xyxy,
+        top_scores,
+        valid,
+        cls_idx,
+        nms_thresh,
+        class_aware=not class_agnostic,
+        backend=nms_backend,
+    )
+
+    kept_scores = jnp.where(keep & valid, top_scores, -1.0)
+    final_scores, sel = jax.lax.top_k(kept_scores, max_per_img)  # batched
+    boxes = jnp.take_along_axis(xyxy, sel[..., None], axis=1)
+    labels = jnp.take_along_axis(cls_idx, sel, axis=1)
+    return Detections(
+        boxes=boxes,
+        scores=jnp.where(final_scores > 0, final_scores, 0.0),
+        labels=labels,
+        valid=final_scores > 0,
+    )
 
 
 def to_pylist(det: Detections) -> list[dict]:
