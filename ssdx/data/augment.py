@@ -211,11 +211,14 @@ def _sample_iou_crop(key, size, boxes, valid, min_scale, options, cfg: AugmentCo
     identity = jnp.array([0.0, 0.0, size, size], jnp.float32)
     wins = jnp.where(sentinel[:, None], identity[None, :], wins)
 
-    # first valid trial wins; fall back to identity
-    first = jnp.argmax(trial_ok)
-    any_ok = trial_ok.any()
-    win = jnp.where(any_ok, wins[first], identity)
-    return win
+    # First valid trial wins (fall back to identity).  Implemented as a
+    # mask-reduction rather than ``wins[argmax(trial_ok)]``: the scalar-index
+    # gather form is miscompiled to zeros by the experimental TPU transport
+    # backend when fused under vmap (verified empirically); the masked sum is
+    # equivalent and robust.
+    first_mask = trial_ok & (jnp.cumsum(trial_ok.astype(jnp.int32)) == 1)
+    win = jnp.sum(wins * first_mask[:, None].astype(jnp.float32), axis=0)
+    return jnp.where(trial_ok.any(), win, identity)
 
 
 def _sample_window(key, size, boxes, labels, valid, cfg: AugmentConfig):

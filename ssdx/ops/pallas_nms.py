@@ -29,7 +29,7 @@ __all__ = ["nms_core_sorted"]
 
 def _nms_kernel(boxes_ref, valid_ref, out_ref, *, thresh: float):
     b = boxes_ref[0]  # [K, 4] float32
-    v = valid_ref[0]  # [K] float32 0/1
+    v = valid_ref[0]  # [1, K] float32 0/1
     k = b.shape[0]
 
     x1, y1, x2, y2 = b[:, 0:1], b[:, 1:2], b[:, 2:3], b[:, 3:4]  # [K, 1]
@@ -60,22 +60,23 @@ def _nms_kernel(boxes_ref, valid_ref, out_ref, *, thresh: float):
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
     after = (row_ids < col_ids).astype(jnp.float32)
-    v_row = v.reshape(k, 1)
+    v_row = jnp.reshape(v, (k, 1))
     sup = (diou > thresh).astype(jnp.float32) * after * v_row  # [K, K]
 
-    # alternating fixpoint: s(j) = max_i sup[i, j] * alive(i)
+    # alternating fixpoint: s(j) = max_i sup[i, j] * alive(i); state kept 2-D
+    # ([1, K]) to stay on the (sublane, lane) layout Mosaic expects.
     def cond(state):
         _, changed, it = state
         return (changed > 0.0) & (it < k)
 
     def body(state):
         s, _, it = state
-        alive = (v - s).reshape(k, 1)  # [K, 1], 0/1
-        new = jnp.max(sup * alive, axis=0)  # [K]
+        alive = jnp.reshape(v - s, (k, 1))  # [K, 1], 0/1
+        new = jnp.max(sup * alive, axis=0, keepdims=True)  # [1, K]
         changed = jnp.max(jnp.abs(new - s))
         return new, changed, it + 1
 
-    s0 = jnp.max(sup, axis=0)
+    s0 = jnp.max(sup, axis=0, keepdims=True)  # [1, K]
     s, _, _ = jax.lax.while_loop(cond, body, (s0, jnp.float32(1.0), 1))
 
     out_ref[0] = v * (1.0 - s)
@@ -90,15 +91,21 @@ def nms_core_sorted(
 ) -> jnp.ndarray:
     """Keep mask [B, K] (bool, sorted order) for greedy DIoU-NMS."""
     Bsz, K, _ = boxes_sorted.shape
+    # Valid/out carried as [B, 1, K] so each per-image block is a (1, K)
+    # tile — Mosaic requires the last two block dims be full or (8, 128)
+    # aligned, which a (1, K) block of a [B, K] array is not.
     out = pl.pallas_call(
         functools.partial(_nms_kernel, thresh=thresh),
         grid=(Bsz,),
         in_specs=[
             pl.BlockSpec((1, K, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bsz, K), jnp.float32),
+        out_specs=pl.BlockSpec((1, 1, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bsz, 1, K), jnp.float32),
         interpret=interpret,
-    )(boxes_sorted.astype(jnp.float32), valid_sorted.astype(jnp.float32))
-    return out > 0.5
+    )(
+        boxes_sorted.astype(jnp.float32),
+        valid_sorted.astype(jnp.float32)[:, None, :],
+    )
+    return out[:, 0, :] > 0.5

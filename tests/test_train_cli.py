@@ -1,0 +1,57 @@
+"""Training CLI wiring: run() end to end on a toy on-disk dataset."""
+import dataclasses
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ssdx.config import Config
+
+
+@pytest.fixture(scope="module")
+def toy_train_dir(tmp_path_factory):
+    import cv2
+
+    d = tmp_path_factory.mktemp("cli_train")
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(24):
+        img = rng.integers(0, 255, (64, 64, 3), np.uint8)
+        name = f"c{i:02d}.jpg"
+        cv2.imwrite(str(d / name), img)
+        rows.append(dict(filename=name, width=64, height=64,
+                         **{"class": ["car", "truck", "pedestrian"][i % 3]},
+                         xmin=5, ymin=5, xmax=45, ymax=45))
+    pd.DataFrame(rows).to_csv(d / "ann.csv", index=False)
+    return d
+
+
+def test_run_smoke_and_resume(toy_train_dir, tmp_path):
+    from ssdx.train.run import run
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, train_dir=str(toy_train_dir), batch_size=8, num_workers=2,
+            source_size=64, max_boxes=8, val_fraction=0.25,
+        ),
+        train=dataclasses.replace(
+            cfg.train, epochs=1, warmup_epochs=0, save_dir=str(tmp_path),
+            bfloat16=False,
+        ),
+    )
+    logs = []
+    state, results, class_to_idx = run(cfg, epochs=1, resume=False,
+                                       log=logs.append)
+    assert set(class_to_idx) == {"car", "truck", "pedestrian"}
+    assert len(results["train_loss"]) == 1
+    assert (tmp_path / "last.ckpt").exists()
+    assert (tmp_path / "last.weights").exists()
+    assert any("mAP" in l for l in logs)
+
+    # resume picks up the checkpoint and extends the curves
+    logs2 = []
+    state2, results2, _ = run(cfg, epochs=1, resume=True, log=logs2.append)
+    assert any("resumed" in l for l in logs2)
+    assert len(results2["train_loss"]) == 2  # merged history
