@@ -134,6 +134,30 @@ def main() -> None:
     check("model forward f32 (highest)", fwd_highest,
           (variables, jnp.asarray(x)), tol=5e-3)
 
+    # 6) full train step (optional: slow compile), f32 + highest precision
+    if "--full" in sys.argv:
+        from ssdx.train.schedule import build_optimizer
+        from ssdx.train.step import Batch, create_train_state, make_train_step
+
+        tx, _ = build_optimizer(steps_per_epoch=10, warmup_epochs=0,
+                                base_lr=1e-3)
+        state0 = create_train_state(model, tx, jax.random.key(0))
+        step = make_train_step(model, tx, priors, priors_xyxy, iou_thresh=0.4)
+        imgs = rng.normal(0, 1, (4, 300, 300, 3)).astype(np.float32)
+        batch = Batch(
+            images=jnp.asarray(imgs),
+            gt_boxes=jnp.asarray(bx01),
+            gt_labels=jnp.asarray(lb),
+            gt_valid=jnp.asarray(vd),
+        )
+
+        def one_step(s, b):
+            with jax.default_matmul_precision("highest"):
+                new_state, metrics = step(s, b)
+            return metrics, new_state.params
+
+        check("train step f32 (highest)", one_step, (state0, batch), tol=1e-2)
+
     print()
     if FAILURES:
         print(f"PARITY FAILURES: {FAILURES}")
