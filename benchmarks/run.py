@@ -19,18 +19,25 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
 
 def _timeit(fn, n_warmup=2, n_iters=20):
-    for _ in range(n_warmup):
-        out = fn()
+    """Time fn(i) per iteration.  fn MUST consume distinct inputs per i —
+    repeated identical dispatches can be cached by the device transport,
+    inflating throughput."""
+    for i in range(n_warmup):
+        out = fn(i)
     _block(out)
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = fn()
+    for i in range(n_iters):
+        out = fn(i)
     _block(out)
     return (time.perf_counter() - t0) / n_iters
 
@@ -75,8 +82,9 @@ def bench_single() -> dict:
                                nms_thresh=0.3, max_per_img=100)
 
         rng = np.random.default_rng(0)
-        img = jnp.asarray(rng.normal(0, 1, (1, 300, 300, 3)).astype(np.float32))
-        dt = _timeit(lambda: infer(variables, img), n_iters=10)
+        imgs = [jnp.asarray(rng.normal(0, 1, (1, 300, 300, 3)).astype(np.float32))
+                for _ in range(12)]
+        dt = _timeit(lambda i: infer(variables, imgs[i % 12]), n_iters=10)
     return {"metric": "ssd300_single_image_cpu_latency", "value": round(dt * 1e3, 2),
             "unit": "ms"}
 
@@ -97,8 +105,11 @@ def bench_batched(batch_size: int = 32) -> dict:
                            nms_thresh=0.3, max_per_img=100)
 
     rng = np.random.default_rng(0)
-    imgs = jnp.asarray(rng.normal(0, 1, (batch_size, 300, 300, 3)).astype(np.float32))
-    dt = _timeit(lambda: infer(variables, imgs), n_iters=30)
+    batches = [
+        jnp.asarray(rng.normal(0, 1, (batch_size, 300, 300, 3)).astype(np.float32))
+        for _ in range(32)
+    ]
+    dt = _timeit(lambda i: infer(variables, batches[i % 32]), n_iters=30)
     return {"metric": f"ssd300_batched_inference_bs{batch_size}",
             "value": round(batch_size / dt, 2), "unit": "images/sec"}
 
@@ -118,10 +129,12 @@ def bench_augment(batch_size: int = 16) -> dict:
     labels = jnp.asarray(rng.integers(0, 5, (batch_size, 16)).astype(np.int32))
     valid = jnp.asarray(np.ones((batch_size, 16), bool))
     cfg = AugmentConfig()
-    key = jax.random.key(0)
+    keys = jax.random.split(jax.random.key(0), 64)
 
-    dt = _timeit(lambda: augment_batch(key, imgs, boxes, labels, valid, cfg),
-                 n_iters=30)
+    dt = _timeit(
+        lambda i: augment_batch(keys[i % 64], imgs, boxes, labels, valid, cfg),
+        n_iters=30,
+    )
     return {"metric": f"augment_pipeline_bs{batch_size}",
             "value": round(batch_size / dt, 2), "unit": "images/sec"}
 
@@ -149,10 +162,10 @@ def bench_train(batch_size: int = 16) -> dict:
         gt_valid=jnp.asarray(np.ones((batch_size, 16), bool)),
     )
 
-    # functional timing loop: thread state through, then block
+    # functional timing loop: thread state through (distinct inputs per call)
     holder = {"state": state}
 
-    def one():
+    def one(_i):
         holder["state"], metrics = step(holder["state"], batch)
         return metrics
 

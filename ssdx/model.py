@@ -91,16 +91,22 @@ class SSD300(nn.Module):
 
     ``__call__(x[B,300,300,3], train)`` returns
     ``(loc [B,8732,4] float32, cls [B,8732,num_classes] float32)``.
+
+    ``fold_bn=True`` builds the BN-free serving variant whose parameters come
+    from :func:`ssdx.export.fold_batchnorm` (inference only).
     """
 
     num_classes: int  # including background (reference: len(class_to_idx)+1)
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         dt = self.dtype
         x = x.astype(dt)
-        cbr = lambda f, **kw: ConvBNRelu(f, dtype=dt, **kw)
+        cbr = lambda f, use_bn=True, **kw: ConvBNRelu(
+            f, dtype=dt, use_bn=use_bn and not self.fold_bn, **kw
+        )
 
         # ---- VGG16 up to conv4_3 ----
         for _ in range(2):
