@@ -19,7 +19,8 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
-# Persistent compilation cache: the SSD300 fwd+bwd CPU compile is expensive;
-# cache it across pytest invocations.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_ssdx_tests")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: do NOT enable the persistent compilation cache here.  The XLA:CPU AOT
+# cache records the compile machine's ISA feature set; on this host the
+# recorded features don't round-trip (the loader warns about
+# "+prefer-no-scatter ... SIGILL") and reloading cached executables aborts
+# the process mid-suite.  Recompiling is slower but reliable.
