@@ -8,9 +8,13 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+# Pin the CPU ISA so persistently cached XLA:CPU executables are reloadable:
+# without this, the AOT cache records compile-machine features that don't
+# round-trip on this host (the loader warns about SIGILL risk).
+if "xla_cpu_max_isa" not in flags:
+    flags += " --xla_cpu_max_isa=AVX2"
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
 
@@ -19,8 +23,8 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
-# NOTE: do NOT enable the persistent compilation cache here.  The XLA:CPU AOT
-# cache records the compile machine's ISA feature set; on this host the
-# recorded features don't round-trip (the loader warns about
-# "+prefer-no-scatter ... SIGILL") and reloading cached executables aborts
-# the process mid-suite.  Recompiling is slower but reliable.
+# Persistent compilation cache: the SSD300 fwd+bwd programs take minutes to
+# compile on CPU; the cache also dedups identical programs across tests in
+# one run.  Safe only with the ISA pin above.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_ssdx_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
