@@ -31,7 +31,7 @@ def dataset_stats(ds: DetectionDataset) -> dict:
         for lb in labels:
             class_counts[ds.idx_to_class[int(lb)]] += 1
         if len(boxes):
-            img = None  # avoid decoding: use CSV canvas via width/height cols
+            # avoid decoding images: canvas size comes from the CSV columns
             rows = ds._by_file.get(ds.paths[i].stem + ".jpg")
             w = float(rows["width"].iloc[0]) if rows is not None and "width" in rows else 512.0
             h = float(rows["height"].iloc[0]) if rows is not None and "height" in rows else 512.0

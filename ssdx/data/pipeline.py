@@ -186,24 +186,41 @@ class DetectionLoader:
         # one-deep background prefetch: overlap decode+H2D with the consumer
         q: queue.Queue = queue.Queue(maxsize=2)
         sentinel = object()
+        stop = threading.Event()
         err: list[BaseException] = []
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for item in self._batches():
-                    q.put(item)
+                    if not _put(item):
+                        return  # consumer went away
             except BaseException as e:  # propagate into the consumer
                 err.append(e)
             finally:
-                q.put(sentinel)
+                _put(sentinel)
 
-        t = threading.Thread(target=producer, daemon=True)
+        t = threading.Thread(target=producer, daemon=True, name="ssdx-prefetch")
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            # unblock and reap the producer even if the consumer broke early
+            stop.set()
+            while not q.empty():
+                q.get_nowait()
+            t.join(timeout=5.0)
         if err:
             raise err[0]
