@@ -126,13 +126,34 @@ class MeanAP:
         interp = np.where(idx < len(prec_env), prec_env[np.minimum(idx, len(prec_env) - 1)], 0.0)
         return float(np.mean(interp))
 
+    def _recall_for_class(self, c: int) -> float:
+        n_gt = self._gt_count.get(c, 0)
+        if n_gt == 0:
+            return -1.0
+        rows = self._rows.get(c, [])
+        return float(sum(1 for r in rows if r[1]) / n_gt)
+
     def compute(self) -> dict:
+        """Result dict with the torchmetrics key set for a single-threshold
+        run (iou_thresholds=[0.5]): 'map' equals 'map_50'; thresholds/area
+        splits not evaluated report -1 like torchmetrics does."""
         classes = sorted(set(self._gt_count) | set(self._rows))
         aps = np.asarray([self._ap_for_class(c) for c in classes], np.float32)
+        recalls = np.asarray(
+            [self._recall_for_class(c) for c in classes], np.float32
+        )
         valid = aps > -1.0
         map_50 = float(aps[valid].mean()) if valid.any() else -1.0
+        mar = float(recalls[valid].mean()) if valid.any() else -1.0
         return {
+            "map": map_50,  # only IoU=0.5 is evaluated
             "map_50": map_50,
+            "map_75": -1.0,
+            "map_small": -1.0,
+            "map_medium": -1.0,
+            "map_large": -1.0,
+            "mar_100": mar,
+            "mar_100_per_class": recalls,
             "map_per_class": aps,
             "classes": np.asarray(classes, np.int64),
         }

@@ -75,6 +75,22 @@ def test_iou_below_threshold_is_fp():
     assert m.compute()["map_50"] == 0.0
 
 
+def test_torchmetrics_key_set_and_mar():
+    m = MeanAP()
+    gt = [{"boxes": np.array([_box(0, 0), _box(50, 50)]), "labels": np.array([0, 0])}]
+    pred = [{"boxes": np.array([_box(0, 0)]), "scores": np.array([0.9]),
+             "labels": np.array([0])}]
+    m.update(pred, gt)
+    out = m.compute()
+    for k in ["map", "map_50", "map_75", "map_small", "map_medium",
+              "map_large", "mar_100", "map_per_class", "classes"]:
+        assert k in out
+    assert out["map"] == out["map_50"]
+    assert out["map_75"] == -1.0
+    # one of two GTs recalled
+    assert np.isclose(out["mar_100"], 0.5)
+
+
 def test_multi_image_accumulation():
     m = MeanAP()
     for i in range(4):
