@@ -48,6 +48,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--eval-every", type=int, default=5)
+    ap.add_argument("--augment", action="store_true",
+                    help="train with the real crop/flip/photometric policy "
+                         "instead of the identity config")
+    ap.add_argument("--min-map", type=float, default=None,
+                    help="pass threshold (default 0.5, or 0.3 with --augment)")
     args = ap.parse_args()
 
     import jax
@@ -70,9 +75,13 @@ def main() -> None:
           f"devices={jax.devices()}")
 
     mesh = create_mesh()
-    # light augmentation: no crop/flip/photometric so the model can memorize
-    aug = AugmentConfig(small_sampler_options=(2.0,), large_sampler_options=(2.0,),
-                        hflip_prob=0.0, photometric_prob=0.0)
+    if args.augment:
+        aug = AugmentConfig()  # the real training policy
+    else:
+        # light augmentation: no crop/flip/photometric so the model memorizes
+        aug = AugmentConfig(small_sampler_options=(2.0,),
+                            large_sampler_options=(2.0,),
+                            hflip_prob=0.0, photometric_prob=0.0)
     train_loader = DetectionLoader(ds, 16, train=True, source_size=256,
                                    max_boxes=8, num_workers=4, augment_cfg=aug,
                                    mesh=mesh)
@@ -107,7 +116,8 @@ def main() -> None:
             last_map = m
             print(f"epoch {epoch:3d}  loss={np.mean(losses):7.4f}  mAP@0.5={m:.4f}")
 
-    ok = last_map is not None and last_map > 0.5 and last_map > (first_map or 0)
+    min_map = args.min_map if args.min_map is not None else (0.3 if args.augment else 0.5)
+    ok = last_map is not None and last_map > min_map and last_map > (first_map or 0)
     print(f"RESULT: {'PASS' if ok else 'FAIL'}  (first mAP={first_map:.4f}, "
           f"final mAP={last_map:.4f})")
     sys.exit(0 if ok else 1)

@@ -36,13 +36,16 @@ def evaluate_weights(
     iou_thresh: float = 0.4,
     bfloat16: bool = True,
     num_workers: int = 8,
+    source_size: int = 512,
+    max_boxes: int = 64,
 ) -> dict:
     """Return the evaluate() dict (losses + mAP) for one weight export."""
     ds = DetectionDataset(test_dir)
     num_classes = len(ds.classes) + 1
     mesh = create_mesh()
     loader = DetectionLoader(
-        ds, batch_size, train=False, num_workers=num_workers, mesh=mesh
+        ds, batch_size, train=False, num_workers=num_workers, mesh=mesh,
+        source_size=source_size, max_boxes=max_boxes,
     )
     model = SSD300(num_classes=num_classes,
                    dtype=jnp.bfloat16 if bfloat16 else jnp.float32)
