@@ -90,6 +90,12 @@ def postprocess(
     Kp = min(prior_top_k, P)
     K = min(top_k_candidates, Kp * n_fg)
 
+    # Keep postprocessing in its own fusion island: fusing the two-stage
+    # top-k/gather chain with an upstream network at some batch sizes (e.g.
+    # bs=16) faults the TPU kernel on this environment's experimental
+    # backend.  The barrier costs one [B,P,4]+[B,P,C] materialization.
+    loc_all, conf_all = jax.lax.optimization_barrier((loc_all, conf_all))
+
     scores_all = jax.nn.softmax(conf_all, axis=-1)[..., 1:]  # [B, P, C-1]
 
     # stage 1: top priors by best foreground class (cheap top_k over P)
