@@ -21,12 +21,17 @@ def main() -> None:
     import numpy as np
 
     from ssdx import priors as P
+    from ssdx.export import fold_batchnorm
     from ssdx.model import SSD300
     from ssdx.predict import postprocess
 
     batch_size = 32
-    model = SSD300(num_classes=6, dtype=jnp.bfloat16)
-    variables = model.init_variables(jax.random.key(0), batch_size=1)
+    # Serving configuration: BatchNorm folded into the conv weights (what
+    # Detector.from_weights(..., fold_bn=True) runs) — same math as eval-mode
+    # BN with the elementwise passes removed.
+    base = SSD300(num_classes=6, dtype=jnp.bfloat16)
+    variables = fold_batchnorm(base.init_variables(jax.random.key(0), batch_size=1))
+    model = SSD300(num_classes=6, dtype=jnp.bfloat16, fold_bn=True)
     priors = jnp.asarray(P.create_priors())
 
     @jax.jit

@@ -50,7 +50,7 @@ def _block(out):
     )
 
 
-def _model_and_priors(dtype=None):
+def _model_and_priors(dtype=None, fold_bn=False):
     import jax
     import jax.numpy as jnp
 
@@ -59,6 +59,11 @@ def _model_and_priors(dtype=None):
 
     model = SSD300(num_classes=6, dtype=dtype or jnp.bfloat16)
     variables = model.init_variables(jax.random.key(0), batch_size=1)
+    if fold_bn:
+        from ssdx.export import fold_batchnorm
+
+        model = SSD300(num_classes=6, dtype=dtype or jnp.bfloat16, fold_bn=True)
+        variables = fold_batchnorm(variables)
     pri = P.create_priors()
     return model, variables, jnp.asarray(pri), jnp.asarray(P.priors_xyxy(pri))
 
@@ -73,7 +78,8 @@ def bench_single() -> dict:
 
         from ssdx.predict import postprocess
 
-        model, variables, priors, _ = _model_and_priors(dtype=jnp.float32)
+        # serving path: BN-folded, like Detector.from_weights
+        model, variables, priors, _ = _model_and_priors(dtype=jnp.float32, fold_bn=True)
 
         @jax.jit
         def infer(variables, images):
@@ -89,14 +95,18 @@ def bench_single() -> dict:
             "unit": "ms"}
 
 
-def bench_batched(batch_size: int = 32) -> dict:
-    """Config 2: batched inference + decode + per-class NMS."""
+def bench_batched(batch_size: int = 32, fold_bn: bool = True) -> dict:
+    """Config 2: batched inference + decode + per-class NMS.
+
+    Runs the serving configuration (BatchNorm folded into conv weights,
+    what Detector.from_weights defaults to) unless ``fold_bn=False``.
+    """
     import jax
     import jax.numpy as jnp
 
     from ssdx.predict import postprocess
 
-    model, variables, priors, _ = _model_and_priors()
+    model, variables, priors, _ = _model_and_priors(fold_bn=fold_bn)
 
     @jax.jit
     def infer(variables, images):

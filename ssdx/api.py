@@ -39,6 +39,7 @@ class Detector:
         dtype: Any = jnp.float32,
         variables: dict | None = None,
         rng_seed: int = 0,
+        fold_bn: bool = False,
     ):
         self.class_to_idx = dict(class_to_idx)
         self.idx_to_class = {v: k for k, v in class_to_idx.items()}
@@ -46,9 +47,14 @@ class Detector:
         self.variances = tuple(variances)
         self.img_h = self.img_w = IMAGE_SIZE
 
-        self.model = SSD300(num_classes=self.num_classes, dtype=dtype)
+        self.model = SSD300(num_classes=self.num_classes, dtype=dtype, fold_bn=fold_bn)
         if variables is None:
-            variables = self.model.init_variables(jax.random.key(rng_seed))
+            base = SSD300(num_classes=self.num_classes, dtype=dtype)
+            variables = base.init_variables(jax.random.key(rng_seed))
+        if fold_bn and "batch_stats" in variables:
+            from .export import fold_batchnorm
+
+            variables = fold_batchnorm(variables)
         self.variables = variables
 
         pri = P.create_priors()
@@ -62,18 +68,29 @@ class Detector:
     # ---- weights ----
 
     @classmethod
-    def from_weights(cls, path, class_to_idx, **kwargs) -> "Detector":
+    def from_weights(cls, path, class_to_idx, fold_bn: bool = True, **kwargs) -> "Detector":
         """Load a weights-only export (ssdx.train.checkpoint.save_params) —
-        the analog of the app's bare state_dict load (ssd_demo_app.py:32-36)."""
+        the analog of the app's bare state_dict load (ssd_demo_app.py:32-36).
+
+        ``fold_bn`` (default True) folds BatchNorm statistics into the conv
+        weights at load time — the standard serving-time transform (the
+        reference app runs eval-mode BN, ssd_demo_app.py:32-36; folding is
+        the equivalent with the elementwise pass removed entirely).
+        """
         from .train.checkpoint import load_params
 
         blob = load_params(path)
         variables = {"params": blob["params"], "batch_stats": blob["batch_stats"]}
-        return cls(class_to_idx, variables=variables, **kwargs)
+        return cls(class_to_idx, variables=variables, fold_bn=fold_bn, **kwargs)
 
     def load_train_state(self, state) -> None:
         """Adopt params/batch_stats from a TrainState."""
-        self.variables = {"params": state.params, "batch_stats": state.batch_stats}
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if self.model.fold_bn:
+            from .export import fold_batchnorm
+
+            variables = fold_batchnorm(variables)
+        self.variables = variables
 
     # ---- inference ----
 

@@ -23,7 +23,7 @@ class DataConfig:
     batch_size: int = 16  # notebook BATCH_SIZE
     num_workers: int = 8  # notebook NUM_WORKERS
     source_size: int = 512  # Udacity native resolution
-    max_boxes: int = 64
+    max_boxes: int | None = None  # None = auto-size from the dataset (no GT loss)
     val_fraction: float = 0.25  # notebook val split of train
     seed: int = 724
     bootstrap: bool = True  # best run uses bootstrap oversampling

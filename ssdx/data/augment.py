@@ -11,10 +11,11 @@ TPU-native redesign of the reference's torchvision v2 transform chain
 and the ``ConditionalIoUCrop`` module (SSD_trainer.py:872-1025).
 
 Key idea: zoom-out, IoU-crop and the final 300x300 resize are all *one*
-sampled source->view window per image.  Zoom-out is a window larger than the
-image (out-of-bounds resolves to fill=0), IoU-crop is a window smaller than
-the image, and the resize maps the window to 300x300 via a single
-``jax.image.scale_and_translate`` (antialiased) — so the whole geometric chain
+sampled source->view window per image.  Zoom-out places the image in a larger
+zero-filled canvas (out-of-bounds source resolves to fill=0); the IoU-crop
+samples a window on that canvas and the two compose into a single source
+window (see ``_sample_window``), which the resize maps to 300x300 via one
+``jax.image.scale_and_translate`` (antialiased) — the whole geometric chain
 is one resample instead of three, and everything runs batched on device under
 jit with per-image PRNG keys.  Rejection sampling ("trials") becomes a fixed
 number of vectorized candidate draws with a first-valid-wins select —
@@ -208,7 +209,9 @@ def _sample_iou_crop(key, size, boxes, valid, min_scale, options, cfg: AugmentCo
     sentinel = opt >= 1.0  # "no crop" option: identity window, always valid
     trial_ok = sentinel | (aspect_ok & iou_ok & center_ok)
 
-    identity = jnp.array([0.0, 0.0, size, size], jnp.float32)
+    # size may be traced (the zoomed canvas side); build the window with stack
+    size = jnp.asarray(size, jnp.float32)
+    identity = jnp.stack([0.0 * size, 0.0 * size, size, size])
     wins = jnp.where(sentinel[:, None], identity[None, :], wins)
 
     # First valid trial wins (fall back to identity).  Implemented as a
@@ -222,42 +225,55 @@ def _sample_iou_crop(key, size, boxes, valid, min_scale, options, cfg: AugmentCo
 
 
 def _sample_window(key, size, boxes, labels, valid, cfg: AugmentConfig):
-    """Sample the full geometric window for one image: optional zoom-out,
-    then ConditionalIoUCrop (policy chosen by box area fraction,
-    SSD_trainer.py:1007-1025)."""
-    kz, kzr, kzx, kzy, kc = jax.random.split(key, 5)
+    """Sample the full geometric window for one image: optional zoom-out
+    *composed with* ConditionalIoUCrop, exactly like the reference chain
+    (SSD_model_train.ipynb cell 2 applies RandomZoomOut and then
+    ConditionalIoUCrop to the same image; policy choice SSD_trainer.py:
+    1007-1025).
 
-    # ---- RandomZoomOut: window larger than the image ----
+    Composition: zoom-out conceptually places the source image at offset
+    (zx, zy) inside a ``big x big`` zero-filled canvas; the IoU-crop then
+    samples a window on that canvas (so its scale bounds, sampler IoUs, and
+    the area-fraction policy choice are all relative to the *zoomed* canvas,
+    as in the reference).  A canvas window maps back to source coordinates by
+    subtracting the offset, yielding one final source window — still a single
+    resample.
+    """
+    kz, kzr, kzx, kzy, kcs, kcl = jax.random.split(key, 6)
+
+    # ---- RandomZoomOut (v2 defaults: side_ratio U[1,4], fill=0) ----
+    do_zoom = (jax.random.uniform(kz, ()) < cfg.zoom_out_prob) & (cfg.zoom_out_prob > 0)
     r = jax.random.uniform(kzr, (), minval=1.0, maxval=cfg.zoom_out_max)
     big = size * r
     zx = jax.random.uniform(kzx, ()) * (big - size)
     zy = jax.random.uniform(kzy, ()) * (big - size)
-    zoom_win = jnp.array([-1.0, -1.0, 1.0, 1.0]) * 0.0 + jnp.stack(
-        [-zx, -zy, big - zx, big - zy]
-    )
-    do_zoom = (jax.random.uniform(kz, ()) < cfg.zoom_out_prob) & (cfg.zoom_out_prob > 0)
 
-    # Zoom-out happens before the crop in the reference chain; composing both
-    # windows is possible but the reference's best run has zoom-out off, so we
-    # branch: zoom-out OR conditional crop for this image.
+    canvas = jnp.where(do_zoom, big, size)
+    ox = jnp.where(do_zoom, zx, 0.0)
+    oy = jnp.where(do_zoom, zy, 0.0)
+    offset = jnp.stack([ox, oy, ox, oy])
+    cboxes = boxes + offset  # GT in canvas coordinates
+
+    # ---- ConditionalIoUCrop on the (possibly zoomed) canvas ----
     area = jnp.clip(boxes[:, 2] - boxes[:, 0], 0, None) * jnp.clip(
         boxes[:, 3] - boxes[:, 1], 0, None
     )
-    area_frac = jnp.where(valid, area / (size * size), 0.0)
+    # area fraction relative to the canvas the crop sees (SSD_trainer.py:1014)
+    area_frac = jnp.where(valid, area / (canvas * canvas), 0.0)
     has_any_box = valid.any()
     has_large = (area_frac >= cfg.min_area_frac).any()
 
     crop_small = _sample_iou_crop(
-        kc, size, boxes, valid, cfg.small_min_scale, cfg.small_sampler_options, cfg
+        kcs, canvas, cboxes, valid, cfg.small_min_scale, cfg.small_sampler_options, cfg
     )
     crop_large = _sample_iou_crop(
-        kc, size, boxes, valid, cfg.large_min_scale, cfg.large_sampler_options, cfg
+        kcl, canvas, cboxes, valid, cfg.large_min_scale, cfg.large_sampler_options, cfg
     )
     crop_win = jnp.where(has_large, crop_large, crop_small)
-    identity = jnp.array([0.0, 0.0, size, size], jnp.float32)
+    identity = jnp.stack([0.0 * canvas, 0.0 * canvas, canvas, canvas])
     crop_win = jnp.where(has_any_box, crop_win, identity)  # no boxes: pass through
 
-    return jnp.where(do_zoom, zoom_win, crop_win)
+    return crop_win - offset  # canvas window -> source coordinates
 
 
 def _resample_to_output(img, win, out_size):

@@ -130,6 +130,18 @@ class DetectionDataset:
         labels = rows["class"].to_numpy(np.int64)
         return boxes, labels
 
+    def max_boxes_per_image(self) -> int:
+        """Largest number of (valid) GT boxes on any image in this dataset —
+        used to auto-size fixed-shape GT padding so no ground truth is ever
+        silently truncated (the reference's ragged targets lose nothing,
+        CarImageClass.py:99-120)."""
+        names = {p.stem + ".jpg" for p in self.paths}
+        best = 0
+        for fname, rows in self._by_file.items():
+            if fname in names:
+                best = max(best, int(rows["class"].notna().sum()))
+        return best
+
     def __getitem__(self, index: int):
         img = self.load_image(index)
         h, w = img.shape[:2]

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import warnings
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, NamedTuple
 
@@ -78,7 +79,7 @@ class DetectionLoader:
         batch_size: int,
         train: bool,
         source_size: int = 512,
-        max_boxes: int = 64,
+        max_boxes: int | None = None,
         num_workers: int = 8,
         seed: int = 724,
         bootstrap: bool = False,
@@ -90,6 +91,20 @@ class DetectionLoader:
         self.batch_size = batch_size
         self.train = train
         self.source_size = source_size
+        # Auto-size the fixed GT padding from the dataset so no ground truth
+        # is silently dropped (shapes stay static per loader); an explicit
+        # max_boxes smaller than the dataset max warns loudly up front.
+        ds_max = dataset.max_boxes_per_image()
+        if max_boxes is None:
+            max_boxes = max(1, ds_max)
+        elif ds_max > max_boxes:
+            warnings.warn(
+                f"max_boxes={max_boxes} is smaller than the dataset's largest "
+                f"image ({ds_max} boxes): ground truth WILL be truncated, "
+                "corrupting training targets and eval mAP. Pass max_boxes=None "
+                "to auto-size.",
+                stacklevel=2,
+            )
         self.max_boxes = max_boxes
         self.num_workers = num_workers
         self.seed = seed
@@ -132,6 +147,12 @@ class DetectionLoader:
         for j, (img, bx, lb) in enumerate(results):
             images[j] = img
             n = min(len(lb), G)
+            if len(lb) > G:
+                warnings.warn(
+                    f"truncating {len(lb) - G} of {len(lb)} GT boxes to "
+                    f"max_boxes={G} (image index {int(idxs[j])})",
+                    stacklevel=2,
+                )
             boxes[j, :n] = bx[:n]
             labels[j, :n] = lb[:n]
             valid[j, :n] = True

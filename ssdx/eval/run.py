@@ -37,7 +37,7 @@ def evaluate_weights(
     bfloat16: bool = True,
     num_workers: int = 8,
     source_size: int = 512,
-    max_boxes: int = 64,
+    max_boxes: int | None = None,
 ) -> dict:
     """Return the evaluate() dict (losses + mAP) for one weight export."""
     ds = DetectionDataset(test_dir)
@@ -84,9 +84,12 @@ def main(argv=None) -> None:
             max_per_img=args.max_per_img,
         )
         m = out["mAP"]
+        # m['classes'] holds the class *ids* actually present in GT or
+        # predictions; look names up by id (zipping all dataset names against
+        # map_per_class would misalign when a class is absent from the set).
         per_class = ", ".join(
-            f"{name}={ap:.4f}"
-            for name, ap in zip(out["classes"], m["map_per_class"])
+            f"{out['classes'][int(c)]}={ap:.4f}"
+            for c, ap in zip(m["classes"], m["map_per_class"])
         )
         print(f"{w}: mAP@0.5={m['map_50']:.4f}  [{per_class}]  "
               f"test loss={out['testing loss']:.4f}")

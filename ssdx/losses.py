@@ -42,9 +42,18 @@ def multibox_loss(
     cls_target: jnp.ndarray,  # [B, P] int (0 = background)
     pos_mask: jnp.ndarray,  # [B, P] bool
     neg_pos_ratio: float = 3.0,
+    img_valid: jnp.ndarray | None = None,  # [B] bool; None = all valid
 ):
-    """Return (total, loc_loss, conf_loss), each a float32 scalar."""
+    """Return (total, loc_loss, conf_loss), each a float32 scalar.
+
+    ``img_valid`` excludes wrap-around padded tail images (see
+    ssdx/data/pipeline.py) from every term — positives, mined negatives, and
+    the zero-positive ``int(ratio)`` floor — so a padded eval batch reports
+    the same loss as the reference's smaller unpadded final batch.
+    """
     posf = pos_mask.astype(jnp.float32)
+    if img_valid is not None:
+        posf = posf * img_valid.astype(jnp.float32)[:, None]
     num_pos = jnp.sum(posf, axis=1)  # [B]
     total_pos = jnp.clip(jnp.sum(num_pos), 1.0, None)
 
@@ -65,6 +74,8 @@ def multibox_loss(
         jnp.float32(int(neg_pos_ratio)),
         jnp.floor(neg_pos_ratio * num_pos),
     )  # [B]
+    if img_valid is not None:
+        max_negs = max_negs * img_valid.astype(jnp.float32)
     neg_keep = (rank < max_negs[:, None]) & ~pos_mask
     ce_neg = jnp.sum(jnp.where(neg_keep, ce, 0.0))
 

@@ -11,9 +11,16 @@ program with fixed shapes:
      Selection is two-stage to dodge the cost of a full-width top_k on TPU
      (top_k over P*(C-1)=43k scores costs ~8 ms/batch; this costs ~1 ms):
      first the top ``prior_top_k`` priors by best-foreground-class score,
-     then top-K pairs among those priors' class columns.  Exact w.r.t. the
-     single-stage form whenever fewer than ``prior_top_k`` priors carry an
-     above-threshold class (always true at the reference's thresholds).
+     then top-K pairs among those priors' class columns.
+     APPROXIMATION BOUND: this truncates relative to the reference's
+     unbounded above-threshold set whenever more than ``prior_top_k`` priors
+     carry an above-threshold class (or more than ``top_k_candidates`` pairs
+     survive).  At the reference's serving thresholds (score 0.2 on a trained
+     model) the caps never bind in practice, but at low thresholds (e.g. the
+     eval default 0.05) or on early/untrained models whose softmax scores
+     ~1/C exceed the threshold everywhere they can — so the default caps
+     scale up automatically when ``score_thresh < 0.1`` (pass explicit
+     values to pin them).
   3. decode only those K priors to 300x300-pixel xyxy, clamped  (:419-426)
   4. batched greedy DIoU-NMS (per-class via class offsets)      (:433-462)
   5. score-sort, truncate to ``max_per_img``                    (:463-465)
@@ -74,16 +81,25 @@ def postprocess(
     nms_thresh: float = 0.5,
     max_per_img: int = 100,
     class_agnostic: bool = False,
-    top_k_candidates: int = 400,
-    prior_top_k: int = 200,
+    top_k_candidates: int | None = None,
+    prior_top_k: int | None = None,
     variances: tuple[float, float] = (0.1, 0.2),
     nms_backend: str = "xla",
 ) -> Detections:
-    """Decode + threshold + NMS for a whole batch in one compiled program."""
+    """Decode + threshold + NMS for a whole batch in one compiled program.
+
+    ``prior_top_k`` / ``top_k_candidates`` default to 200/400, widened to
+    800/1600 when ``score_thresh < 0.1`` (low thresholds keep far more
+    above-threshold candidates; see the module docstring's approximation
+    bound)."""
     if not (0.0 <= score_thresh < 1.0):
         raise ValueError(f"score_thresh must be in [0, 1), got {score_thresh}")
     if not (0.0 < nms_thresh < 1.0):
         raise ValueError(f"nms_thresh must be in (0, 1), got {nms_thresh}")
+    if prior_top_k is None:
+        prior_top_k = 200 if score_thresh >= 0.1 else 800
+    if top_k_candidates is None:
+        top_k_candidates = 2 * prior_top_k
 
     Bsz, P, C = conf_all.shape
     n_fg = C - 1

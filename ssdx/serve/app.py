@@ -31,10 +31,10 @@ DEFAULT_WEIGHTS = "saved_models/best.weights"
 _INDEX_HTML = """<!doctype html>
 <html><head><title>SSDX — TPU SSD300 demo</title>
 <style>
- body {{ font-family: sans-serif; max-width: 900px; margin: 2rem auto; }}
- .panel {{ border: 1px solid #ccc; border-radius: 8px; padding: 1rem; }}
- img {{ max-width: 100%; }}
- nav a {{ margin-right: 1rem; }}
+ body { font-family: sans-serif; max-width: 900px; margin: 2rem auto; }
+ .panel { border: 1px solid #ccc; border-radius: 8px; padding: 1rem; }
+ img { max-width: 100%; }
+ nav a { margin-right: 1rem; }
 </style></head>
 <body>
 <nav><a href="/">Home</a><a href="/model-card">Model card</a>
@@ -49,37 +49,72 @@ annotated image side by side.</p>
   <img id="result">
 </div>
 <script>
-async function run() {{
+async function run() {
   const f = document.getElementById('file').files[0];
-  if (!f) {{ document.getElementById('status').textContent = 'pick a file first'; return; }}
+  if (!f) { document.getElementById('status').textContent = 'pick a file first'; return; }
   const fd = new FormData();
   fd.append('file', f);
   document.getElementById('status').textContent = 'running…';
-  const r = await fetch('/predict', {{ method: 'POST', body: fd }});
-  if (!r.ok) {{ document.getElementById('status').textContent = 'error ' + r.status; return; }}
+  const r = await fetch('/predict', { method: 'POST', body: fd });
+  if (!r.ok) { document.getElementById('status').textContent = 'error ' + r.status; return; }
   const blob = await r.blob();
   document.getElementById('result').src = URL.createObjectURL(blob);
   document.getElementById('status').textContent = 'done';
-}}
+}
 </script>
 </body></html>"""
 
 _MODEL_CARD_HTML = """<!doctype html>
-<html><head><title>Model card — SSDX</title></head>
-<body style="font-family:sans-serif;max-width:900px;margin:2rem auto">
-<nav><a href="/">Home</a></nav>
+<html><head><title>Model card — SSDX</title>
+<style>
+ body { font-family: sans-serif; max-width: 900px; margin: 2rem auto; }
+ table { border-collapse: collapse; margin: 1rem 0; }
+ th, td { border: 1px solid #ccc; padding: 0.35rem 0.7rem; text-align: right; }
+ th:first-child, td:first-child { text-align: left; }
+ nav a { margin-right: 1rem; }
+</style></head>
+<body>
+<nav><a href="/">Home</a><a href="/model-card">Model card</a>
+<a href="/examples">Examples</a></nav>
 <h1>Model card</h1>
 <ul>
 <li><b>Architecture:</b> SSD300 — VGG16+BatchNorm backbone, 6 multibox
-feature heads, 8732 priors.</li>
+feature heads, 8732 priors (~26M params).</li>
 <li><b>Framework:</b> ssdx (JAX/XLA, TPU-native), NHWC, jit-compiled
-inference with batched DIoU-NMS.</li>
+inference with batched DIoU-NMS; serving runs the BN-folded weights.</li>
 <li><b>Classes:</b> biker, car, pedestrian, trafficLight, truck.</li>
 <li><b>Training data:</b> Udacity self-driving car dataset (~29.8k images,
-~195k boxes).</li>
-<li><b>Eval:</b> mAP@0.5 on a held-out stratified group split.</li>
+~195k boxes; stratified group split, seed 724).</li>
+<li><b>Recipe:</b> 150 epochs, bs=16, SGD-Nesterov lr 3e-3 cosine→1e-6,
+5-epoch warmup, bootstrap oversampling, ConditionalIoUCrop.</li>
 <li><b>Thresholds:</b> score 0.2, NMS (DIoU) 0.3, max 100 detections.</li>
 </ul>
+
+<h2>Accuracy — reference recipe, mAP@0.5 on the held-out test split</h2>
+<p>Targets from the reference implementation's published runs
+(automotive-ssd-object-detection README); the ssdx parity runbook
+(<code>tests/test_udacity_parity.py</code>) reproduces the best recipe when
+the dataset is present.</p>
+<table>
+<tr><th>Run</th><th>mAP@0.5</th><th>biker</th><th>car</th><th>pedestrian</th>
+<th>trafficLight</th><th>truck</th></tr>
+<tr><td>Zoom-out, no bootstrap</td><td>0.4613</td><td>0.2854</td>
+<td>0.6618</td><td>0.2145</td><td>0.5571</td><td>0.5875</td></tr>
+<tr><td>No zoom-out, no bootstrap</td><td>0.4724</td><td>0.3015</td>
+<td>0.6681</td><td>0.2314</td><td>0.5619</td><td>0.5992</td></tr>
+<tr><td><b>No zoom-out, bootstrap (deployed)</b></td><td><b>0.5292</b></td>
+<td>0.4045</td><td>0.7088</td><td>0.2907</td><td>0.5956</td><td>0.6465</td></tr>
+</table>
+
+<h2>Throughput — ssdx on TPU</h2>
+<table>
+<tr><th>Benchmark</th><th>Measured</th></tr>
+<tr><td>Batched inference bs=32, decode + per-class DIoU-NMS
+(one v5e chip)</td><td>&gt; 1,500 images/sec</td></tr>
+<tr><td>North-star target (v5e-8)</td><td>5,000 images/sec</td></tr>
+</table>
+<p>See the repository README "Performance" section for the current
+benchmark numbers (<code>bench.py</code>, <code>benchmarks/run.py</code>).</p>
 </body></html>"""
 
 
@@ -163,17 +198,33 @@ def create_server(
                     for p in static_root.iterdir()
                     if p.suffix.lower() in (".jpg", ".jpeg", ".png")
                 )
-            tags = "\n".join(f'<img src="/static/{n}" width="400">' for n in imgs)
+            cards = "\n".join(
+                f"<figure style='display:inline-block;margin:0.5rem'>"
+                f"<img src='/static/{n}' width='380'>"
+                f"<figcaption>{n} — download and upload on the "
+                f"<a href='/'>home page</a> to run detection</figcaption>"
+                f"</figure>"
+                for n in imgs
+            )
             return (
-                "<!doctype html><html><body style='font-family:sans-serif'>"
-                "<nav><a href='/'>Home</a></nav><h1>Examples</h1>"
-                + (tags or "<p>No example images bundled.</p>")
+                "<!doctype html><html><body style='font-family:sans-serif;"
+                "max-width:900px;margin:2rem auto'>"
+                "<nav><a href='/' style='margin-right:1rem'>Home</a>"
+                "<a href='/model-card' style='margin-right:1rem'>Model card</a>"
+                "<a href='/examples'>Examples</a></nav><h1>Examples</h1>"
+                "<p>Bundled sample street scenes (procedurally generated "
+                "stand-ins; the Udacity dataset itself is not redistributed "
+                "with the app).</p>"
+                + (cards or "<p>No example images bundled.</p>")
                 + "</body></html>"
             )
 
         def _serve_static(self, rel: str):
+            # Resolve then containment-check with is_relative_to (a string
+            # prefix check would wrongly admit sibling dirs sharing the
+            # prefix, e.g. /static/../static_old/x).
             target = (static_root / rel).resolve()
-            if not str(target).startswith(str(static_root.resolve())) or not target.is_file():
+            if not target.is_relative_to(static_root.resolve()) or not target.is_file():
                 self._send(404, b"not found", "text/plain")
                 return
             ctype = {

@@ -87,8 +87,9 @@ def evaluate(
     t_pred = 0.0
     for item in loader:
         batch, count = _unpack(item)
+        img_valid = np.arange(batch.images.shape[0]) < count
         t0 = time.perf_counter()
-        metrics, det = eval_step(state, batch)
+        metrics, det = eval_step(state, batch, img_valid)
         det.valid.block_until_ready()
         t_pred += time.perf_counter() - t0
         for k in losses:
@@ -124,6 +125,7 @@ def fit(
     timing: bool = False,
     past_train_dict: dict | None = None,
     rng_key=None,
+    initial_best_err: float | None = None,
     log: Callable[[str], None] = print,
 ) -> tuple[Any, dict]:
     """Run the train/eval cycle; returns (final_state, results dict).
@@ -135,6 +137,9 @@ def fit(
     if save_model and save_dir is None:
         raise TypeError("If the model is to be saved, save_dir must be specified.")
 
+    # ``epochs[0]`` in a results/loss dict records *completed* epochs (updated
+    # as training progresses), so a checkpointed history from an interrupted
+    # run carries the true completed count, not the planned total.
     past_epochs = past_train_dict["epochs"][0] if past_train_dict else 0
 
     results: dict[str, Any] = {
@@ -145,12 +150,12 @@ def fit(
         "test_loss_loc": [],
         "test_loss_conf": [],
         "mAP": [],
-        "epochs": [epochs + past_epochs],
+        "epochs": [past_epochs],
         "training timing": [],
         "testing timing": [],
     }
 
-    best_err = None  # best (lowest) validation loss, for the "best" tag
+    best_err = initial_best_err  # best (lowest) validation loss, "best" tag
     best_map = None
     stale_rounds = 0
 
@@ -203,6 +208,7 @@ def fit(
         results["mAP"].append(test_dict["mAP"])
         results["training timing"].append(train_dict["timing"])
         results["testing timing"].append(test_dict["timing"])
+        results["epochs"][0] = epoch + past_epochs + 1  # completed so far
 
         def _loss_dict():
             return (
@@ -223,10 +229,9 @@ def fit(
                         f"Early stopping after {early_stopping_rounds} rounds "
                         "without improvement."
                     )
-                    results["epochs"][0] = epoch + past_epochs
                     if save_model:
                         save_checkpoint(
-                            epoch=epoch + past_epochs + 1,
+                            epoch=epoch + past_epochs,
                             state=state,
                             loss_dict=_loss_dict(),
                             rng_key=rng_key,
@@ -248,7 +253,7 @@ def fit(
             will_save_best = save_best_model and (val_err < best_err)
 
             common = dict(
-                epoch=epoch + past_epochs + 1,
+                epoch=epoch + past_epochs,  # 0-based index of completed epoch
                 state=state,
                 loss_dict=_loss_dict(),
                 rng_key=rng_key,

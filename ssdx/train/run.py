@@ -87,14 +87,24 @@ def run(cfg: Config, epochs: int | None = None, resume: bool = True, log=print):
     state = create_train_state(model, tx, rng)
 
     past_train_dict = None
+    best_err = None
     resume_path = Path(t.save_dir) / "last.ckpt"
     if resume and resume_path.exists():
-        state, start_epoch, _best, past_train_dict, saved_key = load_checkpoint(
+        state, start_epoch, best_err, past_train_dict, saved_key = load_checkpoint(
             resume_path, state
         )
         if saved_key is not None:
             rng = saved_key
-        log(f"resumed from {resume_path} at epoch {start_epoch}")
+        # start_epoch = number of completed epochs; only train the remainder
+        # (re-running the same command after an interruption must not train
+        # the full configured count again).
+        completed = start_epoch
+        remaining = max(0, epochs - completed)
+        log(
+            f"resumed from {resume_path}: {completed} epochs done, "
+            f"{remaining} of {epochs} remaining"
+        )
+        epochs = remaining
 
     pri = P.create_priors()
     priors = jnp.asarray(pri)
@@ -126,6 +136,7 @@ def run(cfg: Config, epochs: int | None = None, resume: bool = True, log=print):
         timing=True,
         past_train_dict=past_train_dict,
         rng_key=rng,
+        initial_best_err=best_err,
         log=log,
     )
 

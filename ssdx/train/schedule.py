@@ -52,12 +52,12 @@ def warmup_cosine_schedule(
 
 def build_optimizer(
     steps_per_epoch: int,
-    max_epochs: int = 120,
+    max_epochs: int = 150,
     warmup_epochs: int = 5,
     base_lr: float = 3e-3,
-    min_lr: float = 1e-5,
+    min_lr: float = 1e-6,
     momentum: float = 0.9,
-    weight_decay: float = 5e-4,
+    weight_decay: float = 5e-3,
 ) -> tuple[optax.GradientTransformation, optax.Schedule]:
     """SGD(momentum, nesterov) + warmup-cosine, sized from steps_per_epoch
     like the reference (SSD_trainer.py:1161-1163).  Returns (tx, schedule)."""

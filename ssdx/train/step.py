@@ -136,9 +136,14 @@ def make_eval_step(
 ):
     """Build the jitted eval step: losses (no backward) + decoded detections,
     mirroring SSD_test_step's reuse of the forward logits for predict
-    (SSD_trainer.py:250-256)."""
+    (SSD_trainer.py:250-256).
 
-    def eval_step(state: TrainState, batch: Batch):
+    ``img_valid`` [B] bool marks real (non-padded) images; padded tail images
+    are excluded from the loss so a wrap-padded final batch reports the same
+    loss as the reference's smaller unpadded batch.
+    """
+
+    def eval_step(state: TrainState, batch: Batch, img_valid: jnp.ndarray):
         loc, cls = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch.images,
@@ -153,7 +158,7 @@ def make_eval_step(
             iou_thresh,
         )
         total, loc_l, conf_l = multibox_loss(
-            loc, cls, tg.loc, tg.cls, tg.pos, neg_pos_ratio
+            loc, cls, tg.loc, tg.cls, tg.pos, neg_pos_ratio, img_valid=img_valid
         )
         det: Detections = postprocess(
             loc,
@@ -173,7 +178,7 @@ def make_eval_step(
         rep, bs = replicated(mesh), batch_sharding(mesh)
         batch_shard = Batch(images=bs, gt_boxes=bs, gt_labels=bs, gt_valid=bs)
         kw = dict(
-            in_shardings=(rep, batch_shard),
+            in_shardings=(rep, batch_shard, bs),
             out_shardings=(rep, Detections(boxes=bs, scores=bs, labels=bs, valid=bs)),
         )
     return jax.jit(eval_step, **kw)

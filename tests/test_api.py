@@ -42,12 +42,31 @@ def test_weights_roundtrip(det, tmp_path):
 
     p = save_params(det.variables["params"], det.variables["batch_stats"],
                     tmp_path / "w.weights")
-    det2 = Detector.from_weights(p, CLASSES)
+    det2 = Detector.from_weights(p, CLASSES, fold_bn=False)
     a = np.asarray(next(iter(
         np.asarray(x) for x in
         [det.variables["params"]["ConvBNRelu_0"]["Conv_0"]["kernel"]])))
     b = np.asarray(det2.variables["params"]["ConvBNRelu_0"]["Conv_0"]["kernel"])
     np.testing.assert_allclose(a, b)
+
+
+def test_from_weights_folds_bn_by_default(det, tmp_path):
+    """Serving default is the BN-folded variant; predictions must match the
+    unfolded model on the same weights (VERDICT r1 task 3)."""
+    from ssdx.train.checkpoint import save_params
+
+    p = save_params(det.variables["params"], det.variables["batch_stats"],
+                    tmp_path / "w.weights")
+    folded = Detector.from_weights(p, CLASSES)  # fold_bn defaults True
+    unfolded = Detector.from_weights(p, CLASSES, fold_bn=False)
+    assert folded.model.fold_bn and "batch_stats" not in folded.variables
+
+    rng = np.random.default_rng(3)
+    images = rng.normal(0, 1, (2, 300, 300, 3)).astype(np.float32)
+    lf, cf = folded.forward(images)
+    lu, cu = unfolded.forward(images)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lu), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(cf), np.asarray(cu), atol=2e-3)
 
 
 def test_preprocess_pil(det):

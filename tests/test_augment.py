@@ -139,3 +139,53 @@ def test_zoom_out_shrinks_boxes():
         b[..., 3] - b[..., 1], 0, None)
     # zoom-out can only shrink normalized box area
     assert np.all(area(np.asarray(b01)) <= area(np.asarray(b_id)) + 1e-6)
+
+
+def test_zoom_out_composes_with_iou_crop():
+    """The reference chain applies RandomZoomOut AND ConditionalIoUCrop to
+    the same image (SSD_model_train.ipynb cell 2); the sampled source window
+    must reflect both: canvas area beyond the image (zoom) and real crops
+    cutting into the image (not the pure zoom canvas)."""
+    from ssdx.data.augment import _sample_window
+
+    S = 64.0
+    rng = np.random.default_rng(0)
+    boxes = jnp.asarray([[4.0, 4.0, 16.0, 16.0], [40.0, 40.0, 60.0, 58.0]])
+    labels = jnp.asarray([0, 1], jnp.int32)
+    valid = jnp.asarray([True, True])
+    cfg = AugmentConfig(zoom_out_prob=1.0)  # zoom always on, crops active
+
+    wins = np.stack([
+        np.asarray(_sample_window(jax.random.key(i), jnp.float32(S),
+                                  boxes, labels, valid, cfg))
+        for i in range(64)
+    ])
+    contains_image = (
+        (wins[:, 0] <= 0) & (wins[:, 1] <= 0) & (wins[:, 2] >= S) & (wins[:, 3] >= S)
+    )
+    outside = (wins[:, 0] < -1e-3) | (wins[:, 1] < -1e-3) | \
+              (wins[:, 2] > S + 1e-3) | (wins[:, 3] > S + 1e-3)
+    # some draws keep the whole zoomed canvas (sentinel crop on zoomed image)
+    assert contains_image.any()
+    # some draws crop INTO the image after zooming (window not a superset)
+    assert (~contains_image).any()
+    # and zoom is visible: some windows extend past the source bounds
+    assert outside.any()
+
+
+def test_composed_window_no_zoom_matches_crop_only():
+    """With zoom_out_prob=0 the composition must reduce to the plain
+    ConditionalIoUCrop window (regression guard for the refactor)."""
+    from ssdx.data.augment import _sample_window
+
+    S = 64.0
+    boxes = jnp.asarray([[4.0, 4.0, 16.0, 16.0]])
+    labels = jnp.asarray([0], jnp.int32)
+    valid = jnp.asarray([True])
+    cfg = AugmentConfig(zoom_out_prob=0.0)
+    for i in range(16):
+        win = np.asarray(_sample_window(jax.random.key(i), jnp.float32(S),
+                                        boxes, labels, valid, cfg))
+        assert win[0] >= -1e-4 and win[1] >= -1e-4
+        assert win[2] <= S + 1e-4 and win[3] <= S + 1e-4
+        assert win[2] > win[0] and win[3] > win[1]

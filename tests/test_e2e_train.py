@@ -88,7 +88,7 @@ def test_fit_checkpoint_resume(tiny_dir, tmp_path):
         tiny_dir, save_dir)
     restored, start_epoch, _best, loss_dict, _ = load_checkpoint(
         save_dir / "last.ckpt", fresh)
-    assert start_epoch == 3  # saved epoch=2 -> resume at 3
+    assert start_epoch == 2  # 2 epochs completed -> next epoch index 2
     assert len(loss_dict["train_loss"]) == 2
     state2, results2 = fit(
         train_step2, eval_step2, restored,

@@ -46,3 +46,41 @@ def test_full_iteration_still_works(small_dir):
                              max_boxes=4, num_workers=2, prefetch=True)
     assert len(list(loader)) == 4
     assert len(list(loader)) == 4  # reusable across epochs
+
+
+@pytest.fixture(scope="module")
+def manybox_dir(tmp_path_factory):
+    """One image with 70 boxes (past the old silent-truncation limit of 64)."""
+    import cv2
+
+    d = tmp_path_factory.mktemp("manybox")
+    rng = np.random.default_rng(7)
+    name = "crowded.jpg"
+    cv2.imwrite(str(d / name), rng.integers(0, 255, (64, 64, 3), np.uint8))
+    rows = []
+    for i in range(70):
+        x, y = (i % 10) * 6, (i // 10) * 8
+        rows.append(dict(filename=name, width=64, height=64,
+                         **{"class": "car"}, xmin=x, ymin=y, xmax=x + 5, ymax=y + 7))
+    pd.DataFrame(rows).to_csv(d / "ann.csv", index=False)
+    return d
+
+
+def test_max_boxes_autosizes_no_gt_lost(manybox_dir):
+    ds = DetectionDataset(manybox_dir)
+    assert ds.max_boxes_per_image() == 70
+    loader = DetectionLoader(ds, batch_size=1, train=False, source_size=64,
+                             num_workers=1, prefetch=False)  # max_boxes=None -> auto
+    assert loader.max_boxes == 70
+    (batch, count), = list(loader)
+    assert count == 1
+    assert int(np.asarray(batch.gt_valid).sum()) == 70  # every GT box kept
+
+
+def test_explicit_small_max_boxes_warns(manybox_dir):
+    ds = DetectionDataset(manybox_dir)
+    with pytest.warns(UserWarning, match="truncated"):
+        loader = DetectionLoader(ds, batch_size=1, train=False, source_size=64,
+                                 max_boxes=64, num_workers=1, prefetch=False)
+    with pytest.warns(UserWarning, match="truncating 6 of 70"):
+        list(loader)

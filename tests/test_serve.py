@@ -82,3 +82,53 @@ def test_predict_bad_payload(server_url):
 
 def test_404(server_url):
     assert httpx.get(server_url + "/nope").status_code == 404
+
+
+def test_sibling_prefix_traversal_rejected(tmp_path_factory):
+    """ADVICE: a prefix check admits sibling dirs sharing the prefix
+    (/static/../static_old/x); is_relative_to must reject them."""
+    base = tmp_path_factory.mktemp("prefix")
+    static = base / "static"
+    static.mkdir()
+    Image.new("RGB", (8, 8)).save(static / "ok.jpg")
+    sibling = base / "static_old"
+    sibling.mkdir()
+    (sibling / "secret.txt").write_text("leak")
+
+    server = create_server(StubDetector(), host="127.0.0.1", port=0,
+                           static_dir=static)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{port}"
+        assert httpx.get(url + "/static/ok.jpg").status_code == 200
+        r = httpx.get(url + "/static/../static_old/secret.txt")
+        assert r.status_code == 404
+        assert "leak" not in r.text
+    finally:
+        server.shutdown()
+
+
+def test_bundled_examples_and_model_card_metrics():
+    """The repo ships example gallery assets and the model card carries the
+    measured metric table (reference ssd_demo_app.py:169-276)."""
+    from pathlib import Path
+
+    import ssdx.serve.app as app_mod
+
+    static = Path(app_mod.__file__).parent / "static"
+    bundled = sorted(p.name for p in static.glob("*.jpg"))
+    assert len(bundled) >= 3
+    assert "0.5292" in app_mod._MODEL_CARD_HTML  # best-run mAP table
+    assert "trafficLight" in app_mod._MODEL_CARD_HTML
+
+
+def test_docker_context_buildable():
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    script = Path(__file__).parent.parent / "scripts" / "check_docker_context.py"
+    proc = subprocess.run([sys.executable, str(script)], capture_output=True, text=True)
+    assert proc.returncode == 0, proc.stdout + proc.stderr

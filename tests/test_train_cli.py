@@ -50,8 +50,17 @@ def test_run_smoke_and_resume(toy_train_dir, tmp_path):
     assert (tmp_path / "last.weights").exists()
     assert any("mAP" in l for l in logs)
 
-    # resume picks up the checkpoint and extends the curves
+    # re-running the SAME command after completion trains nothing more
+    # (ADVICE r1: resume must reduce remaining work, not restart the count)
+    logs_noop = []
+    _, results_noop, _ = run(cfg, epochs=1, resume=True, log=logs_noop.append)
+    assert any("0 of 1 remaining" in l for l in logs_noop)
+    assert len(results_noop["train_loss"]) == 1  # history only, no new epochs
+
+    # asking for a higher total picks up the checkpoint and extends the curves
     logs2 = []
-    state2, results2, _ = run(cfg, epochs=1, resume=True, log=logs2.append)
+    state2, results2, _ = run(cfg, epochs=2, resume=True, log=logs2.append)
     assert any("resumed" in l for l in logs2)
+    assert any("1 of 2 remaining" in l for l in logs2)
     assert len(results2["train_loss"]) == 2  # merged history
+    assert results2["epochs"] == [2]  # completed count, not planned total

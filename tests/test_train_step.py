@@ -56,7 +56,43 @@ def test_eval_step_runs_and_detects_shapes():
     state = create_train_state(model, tx, jax.random.key(0))
     ev = make_eval_step(model, PRIORS, PRIORS_XYXY, max_per_img=50, mesh=mesh)
     batch = shard_batch(_synthetic_batch(np.random.default_rng(1)), mesh)
-    metrics, det = ev(state, batch)
+    metrics, det = ev(state, batch, np.ones(8, bool))
     assert np.isfinite(float(metrics["loss"]))
     assert det.boxes.shape == (8, 50, 4)
     assert det.valid.dtype == bool
+
+
+def test_eval_step_padded_images_do_not_change_loss():
+    """A wrap-padded tail batch must report the same loss as the real images
+    alone (ADVICE: padded duplicates previously biased the eval loss)."""
+    mesh = create_mesh()
+    model = SSD300(num_classes=6)
+    tx, _ = build_optimizer(steps_per_epoch=10)
+    state = create_train_state(model, tx, jax.random.key(0))
+    ev = make_eval_step(model, PRIORS, PRIORS_XYXY, max_per_img=50, mesh=mesh)
+
+    base = _synthetic_batch(np.random.default_rng(2))
+    # wrap-pad: images 6..7 duplicate images 0..1
+    padded = Batch(
+        images=base.images.at[6:].set(base.images[:2]),
+        gt_boxes=base.gt_boxes.at[6:].set(base.gt_boxes[:2]),
+        gt_labels=base.gt_labels.at[6:].set(base.gt_labels[:2]),
+        gt_valid=base.gt_valid.at[6:].set(base.gt_valid[:2]),
+    )
+    padded = shard_batch(padded, mesh)
+    m_mask, _ = ev(state, padded, np.arange(8) < 6)
+    m_full, _ = ev(state, padded, np.ones(8, bool))
+    # Masked loss differs from the all-valid loss (duplicates excluded)...
+    assert not np.isclose(float(m_mask["loss"]), float(m_full["loss"]))
+    # ...and equals the loss over just the 6 real images computed another way:
+    # duplicate different images in the pad slots; masked loss must not move.
+    padded2 = Batch(
+        images=base.images.at[6:].set(base.images[2:4]),
+        gt_boxes=base.gt_boxes.at[6:].set(base.gt_boxes[2:4]),
+        gt_labels=base.gt_labels.at[6:].set(base.gt_labels[2:4]),
+        gt_valid=base.gt_valid.at[6:].set(base.gt_valid[2:4]),
+    )
+    m_mask2, _ = ev(state, shard_batch(padded2, mesh), np.arange(8) < 6)
+    np.testing.assert_allclose(
+        float(m_mask["loss"]), float(m_mask2["loss"]), rtol=1e-5
+    )
