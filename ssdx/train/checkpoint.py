@@ -12,6 +12,13 @@ Format: a single ``.ckpt`` file — pickle of a numpy-converted pytree (the
 same class of container format as ``torch.save``).  A ``save_params`` /
 ``load_params`` pair provides the weights-only export the serving app needs
 (the reference app loads a bare state_dict, ssd_demo_app.py:34).
+
+Multi-host: when ``jax.process_count() > 1`` the pickle format is wrong
+(every process would serialize the full state and race on one file), so
+``save_checkpoint`` auto-dispatches to the per-process-sharded orbax format
+(``ssdx.train.sharded_checkpoint``), and ``load_checkpoint`` dispatches on
+the on-disk shape (directory = sharded, file = pickle).  Callers — the
+training loop, resume, eval CLIs — are agnostic to the format.
 """
 from __future__ import annotations
 
@@ -39,6 +46,14 @@ def _atomic_write(payload: bytes, path: Path) -> None:
     path.parent.mkdir(parents=True, exist_ok=True)
     tmp = path.with_suffix(path.suffix + ".tmp")
     tmp.write_bytes(payload)
+    if path.is_dir():
+        # The tag currently holds a sharded (directory-format) checkpoint —
+        # e.g. a multi-host run resumed on a single host.  rename() cannot
+        # replace a non-empty directory, so drop it first; the format switch
+        # trades away atomicity for this one transition only.
+        import shutil
+
+        shutil.rmtree(path)
     tmp.replace(path)  # atomic on the same filesystem
 
 
@@ -52,6 +67,12 @@ def save_checkpoint(
     tag: str = "last",
 ) -> Path:
     """Write ``{outdir}/{tag}.ckpt`` atomically; returns the path."""
+    if jax.process_count() > 1:
+        from .sharded_checkpoint import save_checkpoint_sharded
+
+        return save_checkpoint_sharded(
+            epoch, state, loss_dict, rng_key, best_metric, outdir, tag
+        )
     ckpt = {
         "epoch": int(epoch),
         "step": int(state.step),
@@ -78,6 +99,10 @@ def load_checkpoint(path: str | Path, state, restore_rng: bool = True):
     Returns ``(state, start_epoch, best_metric, loss_dict, rng_key)``;
     ``rng_key`` is None if the checkpoint carries no JAX key.
     """
+    if Path(path).is_dir():
+        from .sharded_checkpoint import load_checkpoint_sharded
+
+        return load_checkpoint_sharded(path, state, restore_rng=restore_rng)
     with open(path, "rb") as f:
         ckpt = pickle.load(f)
 
