@@ -152,8 +152,17 @@ def create_server(
     nms_thresh: float = 0.3,
     max_per_img: int = 100,
     target_height: int = 512,
+    batching: bool = True,
+    max_batch: int = 8,
+    max_wait_ms: float = 4.0,
 ) -> ThreadingHTTPServer:
-    """Build (but don't start) the threaded HTTP server."""
+    """Build (but don't start) the threaded HTTP server.
+
+    ``batching=True`` (default) routes predictions through a
+    :class:`ssdx.serve.batcher.MicroBatcher`: concurrent uploads within
+    ``max_wait_ms`` share one batched device dispatch instead of
+    serializing B=1 runs behind a lock.
+    """
     from PIL import Image
 
     from ..viz import side_by_side_prediction
@@ -163,7 +172,17 @@ def create_server(
     if port is None:
         port = int(os.environ.get("PORT", "8080"))
     static_root = Path(static_dir) if static_dir else Path(__file__).parent / "static"
-    lock = threading.Lock()  # single in-flight prediction (one accelerator)
+    # Batching needs the full Detector interface (preprocess_pil + batched
+    # predict); duck-typed predictors that only offer predict_pil fall back
+    # to the serialized lock path.
+    if batching and hasattr(detector, "preprocess_pil") and hasattr(detector, "predict"):
+        from .batcher import MicroBatcher
+
+        predictor = MicroBatcher(detector, max_batch=max_batch, max_wait_ms=max_wait_ms)
+        lock = None  # the batcher's worker thread serializes device work
+    else:
+        predictor = detector
+        lock = threading.Lock()  # single in-flight prediction (one accelerator)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
@@ -247,20 +266,26 @@ def create_server(
             except Exception:
                 self._send(400, b"could not decode image", "text/plain")
                 return
-            with lock:
-                combined = side_by_side_prediction(
-                    detector,
-                    pil_img=pil_img,
-                    score_thresh=score_thresh,
-                    nms_thresh=nms_thresh,
-                    max_per_img=max_per_img,
-                    target_height=target_height,
-                )
+            render = lambda: side_by_side_prediction(
+                predictor,
+                pil_img=pil_img,
+                score_thresh=score_thresh,
+                nms_thresh=nms_thresh,
+                max_per_img=max_per_img,
+                target_height=target_height,
+            )
+            if lock is None:
+                combined = render()  # MicroBatcher coalesces device work
+            else:
+                with lock:
+                    combined = render()
             buf = io.BytesIO()
             combined.save(buf, format="PNG")
             self._send(200, buf.getvalue(), "image/png")
 
-    return ThreadingHTTPServer((host, port), Handler)
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.predictor = predictor  # expose batcher stats / close() to callers
+    return server
 
 
 def main() -> None:
