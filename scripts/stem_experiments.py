@@ -86,11 +86,11 @@ def main():
 
     def conv2_pair(y1):
         y = conv(y1, w2p, b2p, strides=(1, 2), padding=((1, 1), (1, 2)))
-        return y.reshape(B, 300, 300, 64)
+        return y.reshape(y.shape[0], 300, 300, 64)
 
     def conv1_pair(x):
         y = conv(x, w1p, b1p, strides=(1, 2), padding=((1, 1), (1, 2)))
-        return y.reshape(B, 300, 300, 64)
+        return y.reshape(y.shape[0], 300, 300, 64)
 
     xs3 = [jnp.asarray(rng.normal(0, 1, (B, 300, 300, 3)), dt) for _ in range(4)]
     xs64 = [jnp.asarray(rng.normal(0, 1, (B, 300, 300, 64)), dt) for _ in range(4)]
@@ -98,7 +98,7 @@ def main():
     # correctness first (small batch, vs baseline)
     xa = xs64[0][:2]
     ref = conv(xa, w2, b2)
-    got = conv2_pair(xa[:2].reshape(2, 300, 300, 64))[:2]
+    got = conv2_pair(xa)
     err = jnp.max(jnp.abs(ref.astype(jnp.float32) - got.astype(jnp.float32)))
     print(f"pair-packed conv1_2 max err vs baseline: {err:.5f}")
     ref1 = conv(xs3[0][:2], w1, b1)

@@ -1,0 +1,263 @@
+"""Fused Pallas kernel for the SSD300 stem: conv1_1 + conv1_2 + 2x2 maxpool.
+
+Why: the first VGG block (two 64-channel 3x3 convs at 300x300, the
+reference's conv1 layers, SSD_from_scratch.py:46-60) is the measured
+inference hotspot — XLA runs the fused block at ~31 TFLOP/s on a v5e
+(~16% of peak) because 64 output channels fill only half the MXU's 128
+lanes, and the C=3 input conv is layout-bound (~2 TFLOP/s).  An XLA-level
+reformulation (width-4/stride-2 conv with duplicated shifted weights) was
+measured and did NOT help (scripts/stem_experiments.py), so the packing is
+done in a hand-written kernel instead.
+
+Design — "two output pixels per 128-lane register":
+
+  * The input image is pre-arranged (one cheap fused XLA pass,
+    :func:`build_stem_patches`) into per-(row, column-pair) patches:
+    row-major ``P1[b, r*160 + u, 36]`` = the 3x4x3 input window that
+    covers BOTH outputs of column pair ``u = (2u, 2u+1)``; conv1_1 then
+    is a single ``[rows*160, 36] @ [36, 128]`` matmul whose 128 output
+    lanes are (pixel parity g, channel) — full MXU lanes, no im2col
+    in-kernel.
+  * conv1_2 consumes that pair-packed activation directly: the 3x3 conv
+    over pairs decomposes into 6 shifted ``[*, 128] @ [128, 128]`` matmuls
+    (3 row shifts x 2 pair shifts), with weights ``W2[6, 128, 128]`` laid
+    out so lane group g of the input hits lane group h of the output at
+    kernel tap ``2p + g - h`` (zero where out of the 3-tap range).  The
+    1.33x structural-zero MACs are the price of full lane occupancy.
+  * Everything in the kernel is TWO-dimensional: the (image row, column
+    pair) axes stay fused as one sublane axis of extent rows*160, so all
+    six stage-2 operands are tile-aligned slices (offsets dr*160, a
+    multiple of the 16-sublane bf16 tile) of one scratch buffer — no
+    3D->2D collapses, which Mosaic turns into per-matmul relayout copies
+    (the v1 3D formulation spent more time relayouting than multiplying).
+    The pair dim is padded 151 -> 160 to keep that fusion tile-exact; the
+    9 garbage pairs only ever feed discarded outputs.
+  * The pair shift (conv taps crossing into the next pair) is one
+    sublane-shift-by-1, expressed as a two-slice concat: pltpu.roll
+    lowers to tpu.dynamic_rotate which this backend rejects, while the
+    concat compiles and was verified correct on hardware.
+  * bias + ReLU + the following 2x2 maxpool are fused in-register: the
+    horizontal max is a max between the two 64-lane groups, the vertical
+    max a max between adjacent 160-row chunks; the kernel writes the
+    pooled ``[B, 150, 150, 64]`` feature map straight to HBM — the
+    300x300x64 intermediates never leave VMEM.
+  * Row tiling: R output rows per grid step, with the 2-row conv halo
+    fetched as a SECOND BlockSpec view of the same array (a size-2*160
+    block at block index (t+1)*R/2), so both DMAs ride Pallas's standard
+    automatic pipelining — no manual halo DMA.
+
+Used on the BN-folded serving path only (training keeps the XLA convs and
+their autodiff).  Numerics: bf16 inputs/weights, f32 accumulation — same
+as the XLA path's ``preferred_element_type`` setting.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["build_stem_patches", "pack_stem_weights", "stem_conv_pool", "stem_available"]
+
+_R = 20  # output rows per grid step (must divide 300 and be even)
+_H = 300
+_PAIRS = 151  # logical column pairs: y1 cols -1..300 as (pair, parity)
+# Physical pair stride padded to a sublane-tile multiple (bf16 tile = 16):
+# keeps every (row, pair) flat slice tile-aligned.  Garbage pairs 151..159
+# only ever contribute to discarded output pairs >= 150.
+_PP = 160
+
+
+def stem_available(params: dict) -> bool:
+    """True when ``params`` carries the folded stem convs this kernel needs."""
+    try:
+        for m in ("ConvBNRelu_0", "ConvBNRelu_1"):
+            c = params[m]["Conv_0"]
+            _ = c["kernel"], c["bias"]
+        return True
+    except (KeyError, TypeError):
+        return False
+
+
+def build_stem_patches(x: jnp.ndarray) -> jnp.ndarray:
+    """[B,300,300,3] -> [B, 302*160, 36] pair-packed conv1_1 input patches.
+
+    Flat row ``(r+1)*160 + u`` holds
+    ``P1[..., (dr*4+dc)*3+ci] = x[b, (r-1)+dr, (2u-2)+dc, ci]`` (zero
+    outside the image, and zero for the padded pairs u >= 151): the full
+    3-row, 4-column window feeding y1 column pair ``u`` at row ``r``, with
+    one zero row block of padding top and bottom (the conv1_2 row halo at
+    image edges).  One fused XLA pass, ~6x the input bytes — negligible
+    next to the conv FLOPs.
+    """
+    B = x.shape[0]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (2, 3), (0, 0)))
+    slices = []
+    for dr in range(3):
+        for dc in range(4):
+            s = jax.lax.slice(
+                xp, (0, dr, dc, 0), (B, dr + _H, dc + _H + 1, 3), (1, 1, 2, 1)
+            )  # [B, 300, 151, 3]
+            slices.append(s)
+    p = jnp.stack(slices, axis=3).reshape(B, _H, _PAIRS, 36)
+    p = jnp.pad(p, ((0, 0), (1, 1), (0, _PP - _PAIRS), (0, 0)))
+    return p.reshape(B, (_H + 2) * _PP, 36)
+
+
+def pack_stem_weights(w1, b1, w2, b2):
+    """Pack HWIO conv weights into the kernel's pair layout.
+
+    Returns (W1 [36,128], B1 [1,128], W2 [6,128,128], B2 [1,128]).
+    Lane group g (0: even column, 1: odd column) of a pair sees kernel tap
+    ``dc - g`` (conv1_1) / ``2p + g - h`` (conv1_2); taps outside 0..2 are
+    structural zeros.
+    """
+    w1 = jnp.asarray(w1)
+    w2 = jnp.asarray(w2)
+    W1 = jnp.zeros((36, 128), w1.dtype)
+    for dr in range(3):
+        for dc in range(4):
+            for g in range(2):
+                k = dc - g
+                if 0 <= k <= 2:
+                    W1 = W1.at[
+                        (dr * 4 + dc) * 3 : (dr * 4 + dc) * 3 + 3,
+                        64 * g : 64 * (g + 1),
+                    ].set(w1[dr, k])
+    W2 = jnp.zeros((6, 128, 128), w2.dtype)
+    for dr in range(3):
+        for p in range(2):
+            for g in range(2):
+                for h in range(2):
+                    k = 2 * p + g - h
+                    if 0 <= k <= 2:
+                        W2 = W2.at[
+                            2 * dr + p, 64 * g : 64 * (g + 1), 64 * h : 64 * (h + 1)
+                        ].set(w2[dr, k])
+    B1 = jnp.tile(jnp.asarray(b1)[None, :], (1, 2)).reshape(1, 128)
+    B2 = jnp.tile(jnp.asarray(b2)[None, :], (1, 2)).reshape(1, 128)
+    return W1, B1, W2, B2
+
+
+def _stem_kernel(main_ref, tail_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, y1s):
+    t = pl.program_id(1)
+    R = _R
+    M = R * _PP  # flat (row, pair) extent of the main block
+
+    w1 = w1_ref[:]
+    b1 = b1_ref[0]
+
+    def stage1(patches, n, first_y1_row):
+        """conv1_1 on n*160 flat patch rows -> masked [n*160, 128]."""
+        y = jax.lax.dot_general(
+            patches, w1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = jnp.maximum(y + b1[None, :], 0.0)
+        flat = jax.lax.broadcasted_iota(jnp.int32, (n * _PP, 128), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (n * _PP, 128), 1)
+        pair = flat % _PP
+        # y1 columns -1 and 300 are conv1_2 zero-padding, not conv values
+        # (the all-zero edge patches still pick up the bias through ReLU);
+        # same for y1 rows -1 / 300 at the image's top/bottom tiles.
+        colpad = ((pair == 0) & (lane < 64)) | ((pair == _PAIRS - 1) & (lane >= 64))
+        row = first_y1_row + flat // _PP
+        rowpad = (row < 0) | (row >= _H)
+        return jnp.where(colpad | rowpad, 0.0, y).astype(y1s.dtype)
+
+    # y1s flat row i*160+u holds y1 row (t*R - 1 + i), pair u; the main
+    # block covers i in [0, R), the 2-row tail block the halo [R, R+2).
+    y1s[0:M] = stage1(main_ref[0], R, t * R - 1)
+    y1s[M : M + 2 * _PP] = stage1(tail_ref[0], 2, t * R - 1 + R)
+
+    y1 = y1s[:]
+    # pair j -> j+1 view: one sublane shift.  (Crossing a row boundary at
+    # pair 159 drags in the next row's pair 0, but pairs >= 150 of the
+    # output are discarded, so the contamination is unreachable.)
+    y1_shift = jnp.concatenate([y1[1:], y1[:1]], axis=0)
+
+    acc = jnp.zeros((M, 128), jnp.float32)
+    for dr in range(3):
+        for p in range(2):
+            src = y1 if p == 0 else y1_shift
+            chunk = src[dr * _PP : dr * _PP + M]  # tile-aligned slice
+            acc = acc + jax.lax.dot_general(
+                chunk, w2_ref[2 * dr + p], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    y2 = jnp.maximum(acc + b2_ref[0][None, :], 0.0)
+    pooled_h = jnp.maximum(y2[:, :64], y2[:, 64:])  # [M, 64]
+    # vertical 2x2 max: adjacent 160-row chunks are adjacent image rows
+    for k in range(R // 2):
+        a = pooled_h[(2 * k) * _PP : (2 * k) * _PP + _PP]
+        b = pooled_h[(2 * k + 1) * _PP : (2 * k + 1) * _PP + _PP]
+        out_ref[0, k] = jnp.maximum(a, b)[: _PAIRS - 1].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
+def _stem_call(patches, W1, B1, W2, B2, interpret: bool, out_dtype):
+    B = patches.shape[0]
+    T = _H // _R
+    grid = (B, T)
+    flops = B * _H * _PP * 128 * 2 * (36 + 6 * 128)
+    return pl.pallas_call(
+        _stem_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, _R * _PP, 36), lambda b, t: (b, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 2 * _PP, 36),
+                lambda b, t: (b, (t + 1) * (_R // 2), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((36, 128), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, 128, 128), lambda b, t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, _R // 2, _PAIRS - 1, 64), lambda b, t: (b, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, _H // 2, _H // 2, 64), out_dtype),
+        scratch_shapes=[pltpu.VMEM(((_R + 2) * _PP, 128), out_dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=patches.size * 2, transcendentals=0
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(patches, patches, W1, B1, W2, B2)  # same array via main + halo views
+
+
+def stem_conv_pool(
+    images: jnp.ndarray,
+    params: dict,
+    *,
+    interpret: bool | None = None,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Run the fused stem on [B,300,300,3] images -> [B,150,150,64].
+
+    ``params`` is the BN-folded SSD300 param tree (the kernel reads
+    ``ConvBNRelu_{0,1}/Conv_0``).  ``interpret`` defaults to True off-TPU
+    (tests/CPU) and False on TPU.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    c0 = params["ConvBNRelu_0"]["Conv_0"]
+    c1 = params["ConvBNRelu_1"]["Conv_0"]
+    W1, B1, W2, B2 = pack_stem_weights(
+        jnp.asarray(c0["kernel"], compute_dtype),
+        jnp.asarray(c0["bias"], jnp.float32),
+        jnp.asarray(c1["kernel"], compute_dtype),
+        jnp.asarray(c1["bias"], jnp.float32),
+    )
+    patches = build_stem_patches(images.astype(compute_dtype))
+    return _stem_call(patches, W1, B1, W2, B2, interpret, compute_dtype)
