@@ -18,19 +18,26 @@ import numpy as np
 import ssdx.ops.pallas_stem as ps
 
 
-def bench(fn, inputs, iters=20):
-    out = fn(inputs[0])
+def bench(fn, inputs, iters=None):
+    """EVERY dispatch gets a distinct input: the axon transport serves
+    repeated identical dispatches from a cache (ROADMAP r1 note), which
+    made a 4-input cycling bench report 0.03 ms for a 7 ms kernel."""
+    iters = len(inputs) - 1
+    out = fn(inputs[-1])  # warmup/compile on its own input
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for i in range(iters):
-        out = fn(inputs[i % len(inputs)])
+        out = fn(inputs[i])
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 
 
 def main():
     B = 32
-    rng = np.random.default_rng(0)
+    # Salt the RNG per run: the device transport caches (program, args)
+    # dispatches SERVER-side across processes, so reusing default_rng(0)
+    # arrays from a previous script run returns cached results in ~0 ms.
+    rng = np.random.default_rng(time.time_ns() % (2**31))
     print(f"devices: {jax.devices()}", flush=True)
     w1 = rng.normal(0, 0.15, (3, 3, 3, 64)).astype(np.float32)
     b1 = rng.normal(0, 0.3, (64,)).astype(np.float32)
@@ -40,7 +47,7 @@ def main():
         "ConvBNRelu_0": {"Conv_0": {"kernel": w1, "bias": b1}},
         "ConvBNRelu_1": {"Conv_0": {"kernel": w2, "bias": b2}},
     }
-    xs = [jnp.asarray(rng.normal(0, 1, (B, 300, 300, 3)), jnp.bfloat16) for _ in range(4)]
+    xs = [jnp.asarray(rng.normal(0, 1, (B, 300, 300, 3)), jnp.bfloat16) for _ in range(13)]
 
     def run_variant(name, r=None, no_mask=False, no_shift=False):
         old_r = ps._R
@@ -106,6 +113,21 @@ def main():
             ps._R = old_r
             ps._stem_kernel = old_k
             ps._stem_call.clear_cache()
+
+    def conv(x, w, b):
+        y = jax.lax.conv_general_dilated(
+            x, jnp.asarray(w, x.dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        return jnp.maximum(y + b, 0.0).astype(x.dtype)
+
+    def xla_block(x):
+        y = conv(conv(x, w1, b1), w2, b2)
+        Bx, H, W, C = y.shape
+        return y.reshape(Bx, H // 2, 2, W // 2, 2, C).max(axis=(2, 4))
+
+    t = bench(jax.jit(xla_block), xs)
+    print(f"XLA block      : {t*1e3:7.3f} ms", flush=True)
 
     run_variant("R=20 full      ")
     run_variant("R=30 full      ", r=30)

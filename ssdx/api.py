@@ -40,6 +40,7 @@ class Detector:
         variables: dict | None = None,
         rng_seed: int = 0,
         fold_bn: bool = False,
+        stem_kernel: bool = False,
     ):
         self.class_to_idx = dict(class_to_idx)
         self.idx_to_class = {v: k for k, v in class_to_idx.items()}
@@ -61,9 +62,28 @@ class Detector:
         self.priors = jnp.asarray(pri)
         self.priors_xyxy = jnp.asarray(P.priors_xyxy(pri))
 
-        self._forward = jax.jit(
-            lambda variables, images: self.model.apply(variables, images, train=False)
-        )
+        # Optional fused Pallas stem (conv1 block + maxpool in one kernel;
+        # ssdx/ops/pallas_stem.py).  Requires folded-BN params.
+        self.stem_kernel = bool(stem_kernel and fold_bn)
+        if self.stem_kernel:
+            from .ops.pallas_stem import stem_conv_pool
+
+            rest = SSD300(
+                num_classes=self.num_classes, dtype=dtype, fold_bn=True,
+                stem_input=True,
+            )
+
+            def _fwd(variables, images):
+                feats = stem_conv_pool(
+                    images, variables["params"], compute_dtype=dtype
+                )
+                return rest.apply(variables, feats, train=False)
+
+            self._forward = jax.jit(_fwd)
+        else:
+            self._forward = jax.jit(
+                lambda variables, images: self.model.apply(variables, images, train=False)
+            )
 
     # ---- weights ----
 

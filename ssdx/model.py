@@ -94,11 +94,21 @@ class SSD300(nn.Module):
 
     ``fold_bn=True`` builds the BN-free serving variant whose parameters come
     from :func:`ssdx.export.fold_batchnorm` (inference only).
+
+    ``stem_input=True`` makes ``__call__`` accept the post-stem feature map
+    ``[B,150,150,64]`` instead of images — the first two convs + maxpool are
+    expected to have been computed externally by the fused Pallas stem
+    kernel (:func:`ssdx.ops.pallas_stem.stem_conv_pool`).  The two stem
+    ConvBNRelu modules are still *constructed* (never called) so flax
+    auto-numbering of all later modules — and therefore the parameter tree
+    the folded weights use — is unchanged; flax ignores their unused params
+    at apply time.
     """
 
     num_classes: int  # including background (reference: len(class_to_idx)+1)
     dtype: Any = jnp.float32
     fold_bn: bool = False
+    stem_input: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -109,9 +119,11 @@ class SSD300(nn.Module):
         )
 
         # ---- VGG16 up to conv4_3 ----
-        for _ in range(2):
-            x = cbr(64)(x, train)
-        x = _max_pool(x)  # 300 -> 150
+        stem = [cbr(64), cbr(64)]  # constructed even when skipped (naming)
+        if not self.stem_input:
+            for layer in stem:
+                x = layer(x, train)
+            x = _max_pool(x)  # 300 -> 150
         for _ in range(2):
             x = cbr(128)(x, train)
         x = _max_pool(x)  # 150 -> 75

@@ -107,3 +107,21 @@ def test_pack_weights_shapes(stem_data):
     assert B1.shape == (1, 128) and B2.shape == (1, 128)
     # structural zeros: conv1_2 lane-group block (p=0, g=0 -> h=1) is tap -1
     assert np.all(np.asarray(W2)[0, :64, 64:] == 0)
+
+
+def test_detector_stem_kernel_end_to_end():
+    """Detector(stem_kernel=True) matches the standard folded path through
+    the FULL model forward (stem kernel -> stem_input model apply)."""
+    from ssdx.api import Detector
+
+    cls_map = {"car": 0, "truck": 1}
+    base = Detector(cls_map, dtype=jnp.float32, rng_seed=3, fold_bn=True)
+    fast = Detector(
+        cls_map, dtype=jnp.float32, rng_seed=3, fold_bn=True, stem_kernel=True
+    )
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(0, 1, (2, 300, 300, 3)), jnp.float32)
+    loc_a, cls_a = base.forward(x)
+    loc_b, cls_b = fast.forward(x)
+    np.testing.assert_allclose(np.asarray(loc_a), np.asarray(loc_b), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(cls_a), np.asarray(cls_b), atol=2e-3)
