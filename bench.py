@@ -15,7 +15,7 @@ import sys
 import time
 
 
-def main() -> None:
+def main(stem_kernel: bool | None = None) -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -23,44 +23,76 @@ def main() -> None:
     from ssdx import priors as P
     from ssdx.export import fold_batchnorm
     from ssdx.model import SSD300
+    from ssdx.ops.pallas_stem import stem_conv_pool
     from ssdx.predict import postprocess
+
+    if stem_kernel is None:
+        stem_kernel = "--no-stem-kernel" not in sys.argv
 
     batch_size = 32
     # Serving configuration: BatchNorm folded into the conv weights (what
     # Detector.from_weights(..., fold_bn=True) runs) — same math as eval-mode
-    # BN with the elementwise passes removed.
+    # BN with the elementwise passes removed — plus the fused Pallas stem
+    # kernel (conv1 block + maxpool; ssdx/ops/pallas_stem.py) unless
+    # --no-stem-kernel is passed.
     base = SSD300(num_classes=6, dtype=jnp.bfloat16)
     variables = fold_batchnorm(base.init_variables(jax.random.key(0), batch_size=1))
-    model = SSD300(num_classes=6, dtype=jnp.bfloat16, fold_bn=True)
+    model = SSD300(
+        num_classes=6, dtype=jnp.bfloat16, fold_bn=True, stem_input=stem_kernel
+    )
     priors = jnp.asarray(P.create_priors())
 
     @jax.jit
-    def infer(variables, images):
+    def infer(variables, images, chain):
+        # ``chain`` is the previous dispatch's output scalar, scaled to
+        # numerical invisibility (1e-30; an exact *0 would be DCE'd): a
+        # device-side dependency chain that forces real serial execution.
+        # The tunneled transport was observed both caching repeated
+        # (program, args) dispatches AND intermittently reporting
+        # impossible sub-ms times for pipelined dispatch streams.
+        images = images + (chain * 1e-30).astype(images.dtype)
+        if stem_kernel:
+            images = stem_conv_pool(images, variables["params"])
         loc, conf = model.apply(variables, images, train=False)
-        return postprocess(
+        det = postprocess(
             loc, conf, priors, score_thresh=0.2, nms_thresh=0.3, max_per_img=100
         )
+        return det, jnp.sum(det.scores, dtype=jnp.float32)
 
-    # Pre-stage DISTINCT input batches: repeated identical dispatches can be
-    # cached/elided by the device transport, inflating throughput.
-    rng = np.random.default_rng(0)
+    # Pre-stage DISTINCT input batches (salted per run): repeated identical
+    # dispatches can be cached/elided by the device transport.
+    rng = np.random.default_rng(time.time_ns() % (2**31))
     n_iters = 30
     batches = [
         jnp.asarray(rng.normal(0, 1, (batch_size, 300, 300, 3)).astype(np.float32))
-        for _ in range(n_iters)
+        for _ in range(n_iters + 1)
     ]
 
-    # warmup / compile
-    det = infer(variables, batches[0])
-    det.valid.block_until_ready()
+    # warmup / compile (with host materialization — see timing note below)
+    det, chain = infer(variables, batches[-1], jnp.float32(0.0))
+    float(chain)
 
-    t0 = time.perf_counter()
-    for images in batches:
-        det = infer(variables, images)
-    det.valid.block_until_ready()
-    dt = time.perf_counter() - t0
+    def run(n: int) -> float:
+        """Total wall time for an n-long chained run, forced to completion.
 
-    images_per_sec = batch_size * n_iters / dt
+        block_until_ready can signal before the device has executed on this
+        transport, so the chained scalar is materialized on host; the fixed
+        ~46 ms tunnel round-trip is removed by differencing two chain
+        lengths (total(n) = RPC + n*T).
+        """
+        c = jnp.float32(0.0)
+        t0 = time.perf_counter()
+        for images in batches[:n]:
+            det, c = infer(variables, images, c)
+        float(c)
+        return time.perf_counter() - t0
+
+    n_small = n_iters // 3
+    t_small = run(n_small)
+    t_full = run(n_iters)
+    per_iter = (t_full - t_small) / (n_iters - n_small)
+
+    images_per_sec = batch_size / per_iter
     target = 5000.0 * len(jax.devices()) / 8.0  # per-attached-chip share
     print(
         json.dumps(

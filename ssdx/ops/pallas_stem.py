@@ -61,7 +61,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["build_stem_patches", "pack_stem_weights", "stem_conv_pool", "stem_available"]
 
-_R = 20  # output rows per grid step (must divide 300 and be even)
+_R = 30  # output rows per grid step (must divide 300 and be even; 30 measured best of {20,30,50})
 _H = 300
 _PAIRS = 151  # logical column pairs: y1 cols -1..300 as (pair, parity)
 # Physical pair stride padded to a sublane-tile multiple (bf16 tile = 16):
