@@ -40,7 +40,18 @@ Design — "two output pixels per 128-lane register":
     horizontal max is a max between the two 64-lane groups, the vertical
     max a max between adjacent 160-row chunks; the kernel writes the
     pooled ``[B, 150, 150, 64]`` feature map straight to HBM — the
-    300x300x64 intermediates never leave VMEM.
+    300x300x64 intermediates never leave VMEM.  Pooling runs on the RAW
+    stage-2 accumulator (max is monotone and the per-channel bias is
+    uniform across the window), so the bias+ReLU epilogue touches 4x
+    fewer elements.
+  * There are NO mask/select ops in the kernel: the edge-column,
+    edge-row, and pad-pair zeroing of the stage-1 activation (which would
+    otherwise be ~10 VPU ops over the full activation per grid step) is
+    folded into the stage-1 matmul via sentinel K-rows — patch channels
+    36/37 are 0/1 "kill" indicators whose weight rows are -1e9 on the
+    corresponding lane half (ReLU then clamps to exactly 0), and channel
+    38 is a constant 1 carrying the stage-1 bias.  The K dim is padded to
+    the 128-lane tile anyway, so the extra rows are free MXU work.
   * Row tiling: R output rows per grid step, with the 2-row conv halo
     fetched as a SECOND BlockSpec view of the same array (a size-2*160
     block at block index (t+1)*R/2), so both DMAs ride Pallas's standard
@@ -81,16 +92,26 @@ def stem_available(params: dict) -> bool:
         return False
 
 
-def build_stem_patches(x: jnp.ndarray) -> jnp.ndarray:
-    """[B,300,300,3] -> [B, 302*160, 36] pair-packed conv1_1 input patches.
+_K = 40  # patch channels: 36 taps + kill-even + kill-odd + bias-one + pad
 
-    Flat row ``(r+1)*160 + u`` holds
-    ``P1[..., (dr*4+dc)*3+ci] = x[b, (r-1)+dr, (2u-2)+dc, ci]`` (zero
-    outside the image, and zero for the padded pairs u >= 151): the full
-    3-row, 4-column window feeding y1 column pair ``u`` at row ``r``, with
-    one zero row block of padding top and bottom (the conv1_2 row halo at
-    image edges).  One fused XLA pass, ~6x the input bytes — negligible
-    next to the conv FLOPs.
+
+def build_stem_patches(x: jnp.ndarray) -> jnp.ndarray:
+    """[B,300,300,3] -> [B, 302*160, 40] pair-packed conv1_1 input patches.
+
+    Flat row ``(r+1)*160 + u``, channels:
+      * ``[0:36]`` = ``x[b, (r-1)+dr, (2u-2)+dc, ci]`` at channel
+        ``(dr*4+dc)*3+ci`` (zero outside the image) — the full 3-row,
+        4-column window feeding y1 column pair ``u`` at row ``r``;
+      * ``[36]`` = 1 where the pair's EVEN slot (y1 col 2u-1) must be
+        zero: pair 0 (y1 col -1), pad pairs u >= 151, and the halo rows
+        r = -1 / 300;
+      * ``[37]`` = same for the ODD slot (y1 col 2u): pair 150 (col 300),
+        pad pairs, halo rows;
+      * ``[38]`` = 1 everywhere (carries the stage-1 bias through the
+        matmul); ``[39]`` = 0 (tile padding).
+
+    One fused XLA pass, ~7x the input bytes — negligible next to the conv
+    FLOPs.
     """
     B = x.shape[0]
     xp = jnp.pad(x, ((0, 0), (1, 1), (2, 3), (0, 0)))
@@ -103,20 +124,37 @@ def build_stem_patches(x: jnp.ndarray) -> jnp.ndarray:
             slices.append(s)
     p = jnp.stack(slices, axis=3).reshape(B, _H, _PAIRS, 36)
     p = jnp.pad(p, ((0, 0), (1, 1), (0, _PP - _PAIRS), (0, 0)))
-    return p.reshape(B, (_H + 2) * _PP, 36)
+
+    pair = jnp.arange(_PP)
+    interior = jnp.ones((_H + 2,), p.dtype).at[0].set(0).at[_H + 1].set(0)
+    pad_pair = (pair >= _PAIRS).astype(p.dtype)
+    kill_e = jnp.maximum((pair == 0).astype(p.dtype), pad_pair)  # [PP]
+    kill_o = jnp.maximum((pair == _PAIRS - 1).astype(p.dtype), pad_pair)
+    # halo rows kill both slots; interior rows use the per-pair kills
+    kill_e = jnp.maximum(kill_e[None, :], 1.0 - interior[:, None])  # [H+2, PP]
+    kill_o = jnp.maximum(kill_o[None, :], 1.0 - interior[:, None])
+    ones = jnp.ones((_H + 2, _PP), p.dtype)
+    zeros = jnp.zeros((_H + 2, _PP), p.dtype)
+    extra = jnp.stack([kill_e, kill_o, ones, zeros], axis=-1)  # [H+2, PP, 4]
+    extra = jnp.broadcast_to(extra[None], (B, _H + 2, _PP, 4))
+    p = jnp.concatenate([p, extra.astype(p.dtype)], axis=-1)  # [..., 40]
+    return p.reshape(B, (_H + 2) * _PP, _K)
 
 
 def pack_stem_weights(w1, b1, w2, b2):
     """Pack HWIO conv weights into the kernel's pair layout.
 
-    Returns (W1 [36,128], B1 [1,128], W2 [6,128,128], B2 [1,128]).
+    Returns (W1 [40,128], W2 [6,128,128], B2 [1,64]).
     Lane group g (0: even column, 1: odd column) of a pair sees kernel tap
     ``dc - g`` (conv1_1) / ``2p + g - h`` (conv1_2); taps outside 0..2 are
-    structural zeros.
+    structural zeros.  W1 rows 36/37 are -1e9 kill rows (paired with the
+    0/1 indicator patch channels; ReLU clamps the result to exactly 0) and
+    row 38 carries the stage-1 bias; the stage-2 bias is returned
+    separately and applied after pooling (max is monotone, bias uniform).
     """
     w1 = jnp.asarray(w1)
     w2 = jnp.asarray(w2)
-    W1 = jnp.zeros((36, 128), w1.dtype)
+    W1 = jnp.zeros((_K, 128), w1.dtype)
     for dr in range(3):
         for dc in range(4):
             for g in range(2):
@@ -136,41 +174,35 @@ def pack_stem_weights(w1, b1, w2, b2):
                         W2 = W2.at[
                             2 * dr + p, 64 * g : 64 * (g + 1), 64 * h : 64 * (h + 1)
                         ].set(w2[dr, k])
-    B1 = jnp.tile(jnp.asarray(b1)[None, :], (1, 2)).reshape(1, 128)
-    B2 = jnp.tile(jnp.asarray(b2)[None, :], (1, 2)).reshape(1, 128)
-    return W1, B1, W2, B2
+    kill = jnp.asarray(-1e9, w1.dtype)
+    W1 = W1.at[36, 0:64].set(kill)  # even slot (y1 col 2u-1)
+    W1 = W1.at[37, 64:128].set(kill)  # odd slot (y1 col 2u)
+    W1 = W1.at[38, 0:64].set(jnp.asarray(b1, w1.dtype))
+    W1 = W1.at[38, 64:128].set(jnp.asarray(b1, w1.dtype))
+    B2 = jnp.asarray(b2, jnp.float32).reshape(1, 64)
+    return W1, W2, B2
 
 
-def _stem_kernel(main_ref, tail_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, y1s):
-    t = pl.program_id(1)
+def _stem_kernel(main_ref, tail_ref, w1_ref, w2_ref, b2_ref, out_ref, y1s):
     R = _R
     M = R * _PP  # flat (row, pair) extent of the main block
 
     w1 = w1_ref[:]
-    b1 = b1_ref[0]
 
-    def stage1(patches, n, first_y1_row):
-        """conv1_1 on n*160 flat patch rows -> masked [n*160, 128]."""
+    def stage1(patches):
+        """conv1_1 on flat patch rows: one matmul + ReLU.  Bias and ALL
+        edge/pad zeroing ride the matmul via the sentinel K-rows (see
+        pack_stem_weights) — no selects, no iotas."""
         y = jax.lax.dot_general(
             patches, w1, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        y = jnp.maximum(y + b1[None, :], 0.0)
-        flat = jax.lax.broadcasted_iota(jnp.int32, (n * _PP, 128), 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (n * _PP, 128), 1)
-        pair = flat % _PP
-        # y1 columns -1 and 300 are conv1_2 zero-padding, not conv values
-        # (the all-zero edge patches still pick up the bias through ReLU);
-        # same for y1 rows -1 / 300 at the image's top/bottom tiles.
-        colpad = ((pair == 0) & (lane < 64)) | ((pair == _PAIRS - 1) & (lane >= 64))
-        row = first_y1_row + flat // _PP
-        rowpad = (row < 0) | (row >= _H)
-        return jnp.where(colpad | rowpad, 0.0, y).astype(y1s.dtype)
+        return jnp.maximum(y, 0.0).astype(y1s.dtype)
 
     # y1s flat row i*160+u holds y1 row (t*R - 1 + i), pair u; the main
     # block covers i in [0, R), the 2-row tail block the halo [R, R+2).
-    y1s[0:M] = stage1(main_ref[0], R, t * R - 1)
-    y1s[M : M + 2 * _PP] = stage1(tail_ref[0], 2, t * R - 1 + R)
+    y1s[0:M] = stage1(main_ref[0])
+    y1s[M : M + 2 * _PP] = stage1(tail_ref[0])
 
     y1 = y1s[:]
     # pair j -> j+1 view: one sublane shift.  (Crossing a row boundary at
@@ -187,17 +219,19 @@ def _stem_kernel(main_ref, tail_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, y1
                 chunk, w2_ref[2 * dr + p], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-    y2 = jnp.maximum(acc + b2_ref[0][None, :], 0.0)
-    pooled_h = jnp.maximum(y2[:, :64], y2[:, 64:])  # [M, 64]
-    # vertical 2x2 max: adjacent 160-row chunks are adjacent image rows
+    # pool FIRST (monotone max, uniform per-channel bias), then bias+ReLU
+    # on the 4x-smaller pooled map
+    pooled_h = jnp.maximum(acc[:, :64], acc[:, 64:])  # [M, 64]
+    b2 = b2_ref[0]
     for k in range(R // 2):
         a = pooled_h[(2 * k) * _PP : (2 * k) * _PP + _PP]
         b = pooled_h[(2 * k + 1) * _PP : (2 * k + 1) * _PP + _PP]
-        out_ref[0, k] = jnp.maximum(a, b)[: _PAIRS - 1].astype(out_ref.dtype)
+        v = jnp.maximum(jnp.maximum(a, b) + b2[None, :], 0.0)
+        out_ref[0, k] = v[: _PAIRS - 1].astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
-def _stem_call(patches, W1, B1, W2, B2, interpret: bool, out_dtype):
+def _stem_call(patches, W1, W2, B2, interpret: bool, out_dtype):
     B = patches.shape[0]
     T = _H // _R
     grid = (B, T)
@@ -207,18 +241,17 @@ def _stem_call(patches, W1, B1, W2, B2, interpret: bool, out_dtype):
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, _R * _PP, 36), lambda b, t: (b, t, 0),
+                (1, _R * _PP, _K), lambda b, t: (b, t, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 2 * _PP, 36),
+                (1, 2 * _PP, _K),
                 lambda b, t: (b, (t + 1) * (_R // 2), 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((36, 128), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_K, 128), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((6, 128, 128), lambda b, t: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 64), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, _R // 2, _PAIRS - 1, 64), lambda b, t: (b, t, 0, 0),
@@ -233,7 +266,7 @@ def _stem_call(patches, W1, B1, W2, B2, interpret: bool, out_dtype):
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(patches, patches, W1, B1, W2, B2)  # same array via main + halo views
+    )(patches, patches, W1, W2, B2)  # same array via main + halo views
 
 
 def stem_conv_pool(
@@ -253,11 +286,11 @@ def stem_conv_pool(
         interpret = jax.default_backend() not in ("tpu", "axon")
     c0 = params["ConvBNRelu_0"]["Conv_0"]
     c1 = params["ConvBNRelu_1"]["Conv_0"]
-    W1, B1, W2, B2 = pack_stem_weights(
+    W1, W2, B2 = pack_stem_weights(
         jnp.asarray(c0["kernel"], compute_dtype),
         jnp.asarray(c0["bias"], jnp.float32),
         jnp.asarray(c1["kernel"], compute_dtype),
         jnp.asarray(c1["bias"], jnp.float32),
     )
     patches = build_stem_patches(images.astype(compute_dtype))
-    return _stem_call(patches, W1, B1, W2, B2, interpret, compute_dtype)
+    return _stem_call(patches, W1, W2, B2, interpret, compute_dtype)

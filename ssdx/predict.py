@@ -106,10 +106,16 @@ def postprocess(
     Kp = min(prior_top_k, P)
     K = min(top_k_candidates, Kp * n_fg)
 
-    # Keep postprocessing in its own fusion island: fusing the two-stage
-    # top-k/gather chain with an upstream network at some batch sizes (e.g.
-    # bs=16) faults the TPU kernel on this environment's experimental
-    # backend.  The barrier costs one [B,P,4]+[B,P,C] materialization.
+    # Keep postprocessing in its own fusion island.  Two independent
+    # reasons, re-validated under the chained timing protocol
+    # (scripts/check_barrier.py):
+    #   1. r1: fusing the two-stage top-k/gather chain with the upstream
+    #      network faulted the TPU kernel at bs=16 on this environment's
+    #      experimental backend (fixed in a later backend, but cheap
+    #      insurance);
+    #   2. r2: the barrier is now a measured WIN — without it XLA fuses
+    #      the network into the postprocess badly (bs=32: 19.3 ms with
+    #      the barrier vs 35.4 ms fused; identical results).
     loc_all, conf_all = jax.lax.optimization_barrier((loc_all, conf_all))
 
     scores_all = jax.nn.softmax(conf_all, axis=-1)[..., 1:]  # [B, P, C-1]

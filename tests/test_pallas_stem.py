@@ -48,9 +48,16 @@ def stem_data():
 def test_patches_layout(stem_data):
     x, *_ = stem_data
     p = np.asarray(build_stem_patches(jnp.asarray(x)))
-    assert p.shape == (2, 302 * 160, 36)  # flat (row, pair), pair stride 160
-    p = p.reshape(2, 302, 160, 36)
-    assert np.all(p[:, :, 151:] == 0)  # padded pairs are zero
+    assert p.shape == (2, 302 * 160, 40)  # flat (row, pair), pair stride 160
+    p = p.reshape(2, 302, 160, 40)
+    assert np.all(p[:, :, 151:, :36] == 0)  # padded pairs carry no taps
+    # sentinel channels: kill indicators + constant bias carrier
+    assert np.all(p[:, :, 151:, 36] == 1) and np.all(p[:, :, 151:, 37] == 1)
+    assert np.all(p[:, 0, :, 36] == 1) and np.all(p[:, -1, :, 37] == 1)  # halo rows
+    assert np.all(p[:, 1:-1, 0, 36] == 1)   # pair 0 even slot (y1 col -1)
+    assert np.all(p[:, 1:-1, 150, 37] == 1)  # pair 150 odd slot (y1 col 300)
+    assert np.all(p[:, 1:-1, 1:150, 36] == 0) and np.all(p[:, 1:-1, 1:150, 37] == 0)
+    assert np.all(p[..., 38] == 1) and np.all(p[..., 39] == 0)
     # P1[b, r+1, u, (dr*4+dc)*3+ci] == x[b, r-1+dr, 2u-2+dc, ci]
     b, r, u = 1, 137, 60
     for dr in range(3):
@@ -60,7 +67,8 @@ def test_patches_layout(stem_data):
                 got = p[b, r + 1, u, (dr * 4 + dc) * 3 + ci]
                 np.testing.assert_allclose(got, want, rtol=0, atol=0)
     # zero padding outside the image
-    assert np.all(p[:, 0] == 0) and np.all(p[:, -1] == 0)
+    # halo rows carry no taps (their sentinel kill channels are 1)
+    assert np.all(p[:, 0, :, :36] == 0) and np.all(p[:, -1, :, :36] == 0)
     assert np.all(p[:, 1, 0, 0:3] == 0)  # u=0, dc=0 -> x col -2
 
 
@@ -102,11 +110,16 @@ def test_stem_kernel_bf16_close(stem_data):
 
 def test_pack_weights_shapes(stem_data):
     _, w1, b1, w2, b2 = stem_data
-    W1, B1, W2, B2 = pack_stem_weights(w1, b1, w2, b2)
-    assert W1.shape == (36, 128) and W2.shape == (6, 128, 128)
-    assert B1.shape == (1, 128) and B2.shape == (1, 128)
+    W1, W2, B2 = pack_stem_weights(w1, b1, w2, b2)
+    assert W1.shape == (40, 128) and W2.shape == (6, 128, 128)
+    assert B2.shape == (1, 64)
     # structural zeros: conv1_2 lane-group block (p=0, g=0 -> h=1) is tap -1
     assert np.all(np.asarray(W2)[0, :64, 64:] == 0)
+    # sentinel rows: kill weights and the bias carrier
+    W1 = np.asarray(W1)
+    assert np.all(W1[36, :64] == -1e9) and np.all(W1[36, 64:] == 0)
+    assert np.all(W1[37, 64:] == -1e9) and np.all(W1[37, :64] == 0)
+    np.testing.assert_allclose(W1[38, :64], b1, rtol=1e-6)
 
 
 def test_detector_stem_kernel_end_to_end():
