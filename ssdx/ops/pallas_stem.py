@@ -19,11 +19,16 @@ Design — "two output pixels per 128-lane register":
     lanes are (pixel parity g, channel) — full MXU lanes, no im2col
     in-kernel.
   * conv1_2 consumes that pair-packed activation directly: the 3x3 conv
-    over pairs decomposes into 6 shifted ``[*, 128] @ [128, 128]`` matmuls
-    (3 row shifts x 2 pair shifts), with weights ``W2[6, 128, 128]`` laid
-    out so lane group g of the input hits lane group h of the output at
-    kernel tap ``2p + g - h`` (zero where out of the 3-tap range).  The
-    1.33x structural-zero MACs are the price of full lane occupancy.
+    over pairs decomposes into 6 shifted 128-lane operands (3 row shifts x
+    2 pair shifts) which are lane-concatenated into ONE ``[*, 768]``
+    matrix and contracted against ``W2cat [768, 128]`` in a single matmul
+    — Mosaic then accumulates over the K tiles in registers, where a
+    6-dot ``acc = acc + dot(...)`` chain re-materializes the 2.4 MB f32
+    accumulator per dot (~29 MB of VMEM traffic per grid step, the
+    dominant cost of the previous revision).  W2cat block ``3p + dr``
+    holds weight tap ``2p + g - h`` for input lane group g -> output lane
+    group h (zero where out of the 3-tap range); the 1.33x
+    structural-zero MACs are the price of full lane occupancy.
   * Everything in the kernel is TWO-dimensional: the (image row, column
     pair) axes stay fused as one sublane axis of extent rows*160, so all
     six stage-2 operands are tile-aligned slices (offsets dr*160, a
@@ -144,7 +149,7 @@ def build_stem_patches(x: jnp.ndarray) -> jnp.ndarray:
 def pack_stem_weights(w1, b1, w2, b2):
     """Pack HWIO conv weights into the kernel's pair layout.
 
-    Returns (W1 [40,128], W2 [6,128,128], B2 [1,64]).
+    Returns (W1 [40,128], W2cat [768,128], B2 [1,64]).
     Lane group g (0: even column, 1: odd column) of a pair sees kernel tap
     ``dc - g`` (conv1_1) / ``2p + g - h`` (conv1_2); taps outside 0..2 are
     structural zeros.  W1 rows 36/37 are -1e9 kill rows (paired with the
@@ -164,6 +169,7 @@ def pack_stem_weights(w1, b1, w2, b2):
                         (dr * 4 + dc) * 3 : (dr * 4 + dc) * 3 + 3,
                         64 * g : 64 * (g + 1),
                     ].set(w1[dr, k])
+    # block index matches the kernel's lane-concat order: p-major, then dr
     W2 = jnp.zeros((6, 128, 128), w2.dtype)
     for dr in range(3):
         for p in range(2):
@@ -172,8 +178,9 @@ def pack_stem_weights(w1, b1, w2, b2):
                     k = 2 * p + g - h
                     if 0 <= k <= 2:
                         W2 = W2.at[
-                            2 * dr + p, 64 * g : 64 * (g + 1), 64 * h : 64 * (h + 1)
+                            3 * p + dr, 64 * g : 64 * (g + 1), 64 * h : 64 * (h + 1)
                         ].set(w2[dr, k])
+    W2 = W2.reshape(768, 128)
     kill = jnp.asarray(-1e9, w1.dtype)
     W1 = W1.at[36, 0:64].set(kill)  # even slot (y1 col 2u-1)
     W1 = W1.at[37, 64:128].set(kill)  # odd slot (y1 col 2u)
@@ -210,15 +217,20 @@ def _stem_kernel(main_ref, tail_ref, w1_ref, w2_ref, b2_ref, out_ref, y1s):
     # output are discarded, so the contamination is unreachable.)
     y1_shift = jnp.concatenate([y1[1:], y1[:1]], axis=0)
 
-    acc = jnp.zeros((M, 128), jnp.float32)
-    for dr in range(3):
-        for p in range(2):
-            src = y1 if p == 0 else y1_shift
-            chunk = src[dr * _PP : dr * _PP + M]  # tile-aligned slice
-            acc = acc + jax.lax.dot_general(
-                chunk, w2_ref[2 * dr + p], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+    # ONE wide matmul instead of six accumulating dots (see module doc):
+    # lane-concat the six shifted operands (p-major, then dr, matching the
+    # W2cat block order) and let the MXU's K loop do the accumulation in
+    # registers — an ``acc = acc + dot(...)`` chain re-materializes the
+    # f32 accumulator in VMEM per dot, which dominated the previous rev.
+    a2 = jnp.concatenate(
+        [y1[dr * _PP : dr * _PP + M] for dr in range(3)]
+        + [y1_shift[dr * _PP : dr * _PP + M] for dr in range(3)],
+        axis=1,
+    )  # [M, 768]
+    acc = jax.lax.dot_general(
+        a2, w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     # pool FIRST (monotone max, uniform per-channel bias), then bias+ReLU
     # on the 4x-smaller pooled map
     pooled_h = jnp.maximum(acc[:, :64], acc[:, 64:])  # [M, 64]
@@ -250,7 +262,7 @@ def _stem_call(patches, W1, W2, B2, interpret: bool, out_dtype):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((_K, 128), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, 128, 128), lambda b, t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((768, 128), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 64), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(

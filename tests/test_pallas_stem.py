@@ -111,10 +111,10 @@ def test_stem_kernel_bf16_close(stem_data):
 def test_pack_weights_shapes(stem_data):
     _, w1, b1, w2, b2 = stem_data
     W1, W2, B2 = pack_stem_weights(w1, b1, w2, b2)
-    assert W1.shape == (40, 128) and W2.shape == (6, 128, 128)
+    assert W1.shape == (40, 128) and W2.shape == (768, 128)
     assert B2.shape == (1, 64)
-    # structural zeros: conv1_2 lane-group block (p=0, g=0 -> h=1) is tap -1
-    assert np.all(np.asarray(W2)[0, :64, 64:] == 0)
+    # structural zeros: conv1_2 block (p=0, dr=0), g=0 -> h=1 is tap -1
+    assert np.all(np.asarray(W2)[:64, 64:] == 0)
     # sentinel rows: kill weights and the bias carrier
     W1 = np.asarray(W1)
     assert np.all(W1[36, :64] == -1e9) and np.all(W1[36, 64:] == 0)
