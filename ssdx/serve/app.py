@@ -155,6 +155,7 @@ def create_server(
     batching: bool = True,
     max_batch: int = 8,
     max_wait_ms: float = 4.0,
+    batching_warmup: bool = False,
 ) -> ThreadingHTTPServer:
     """Build (but don't start) the threaded HTTP server.
 
@@ -178,7 +179,10 @@ def create_server(
     if batching and hasattr(detector, "preprocess_pil") and hasattr(detector, "predict"):
         from .batcher import MicroBatcher
 
-        predictor = MicroBatcher(detector, max_batch=max_batch, max_wait_ms=max_wait_ms)
+        predictor = MicroBatcher(
+            detector, max_batch=max_batch, max_wait_ms=max_wait_ms,
+            warmup=batching_warmup,
+        )
         lock = None  # the batcher's worker thread serializes device work
     else:
         predictor = detector

@@ -52,6 +52,7 @@ class MicroBatcher:
         max_batch: int = 8,
         max_wait_ms: float = 4.0,
         request_timeout_s: float = 120.0,
+        warmup: bool = False,
     ):
         self.detector = detector
         self.idx_to_class = detector.idx_to_class
@@ -70,6 +71,19 @@ class MicroBatcher:
         self._q: queue.Queue = queue.Queue()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
+        if warmup:
+            # Compile every batch bucket in the background so the first
+            # concurrent burst doesn't pay the XLA compile latency.  Runs on
+            # its own thread; requests arriving meanwhile just queue.
+            threading.Thread(target=self._warmup_buckets, daemon=True).start()
+
+    def _warmup_buckets(self) -> None:
+        for b in self._buckets:
+            try:
+                self.detector.predict(
+                    np.zeros((b, 300, 300, 3), np.float32))
+            except Exception:
+                return  # warmup is best-effort
 
     # ---- public surface (Detector-compatible) ----
 
