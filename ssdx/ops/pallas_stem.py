@@ -77,7 +77,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["build_stem_patches", "pack_stem_weights", "stem_conv_pool", "stem_available"]
 
-_R = 30  # output rows per grid step (must divide 300 and be even; 30 measured best of {20,30,50})
+_R = 30  # output rows per grid step (must divide 300 and be even; 30 measured best of {20,30,50,60})
+_CH = 1600  # stage-2 M-chunk: 10 image rows; bounds the a2/acc VMEM footprint
 _H = 300
 _PAIRS = 151  # logical column pairs: y1 cols -1..300 as (pair, parity)
 # Physical pair stride padded to a sublane-tile multiple (bf16 tile = 16):
@@ -217,29 +218,37 @@ def _stem_kernel(main_ref, tail_ref, w1_ref, w2_ref, b2_ref, out_ref, y1s):
     # output are discarded, so the contamination is unreachable.)
     y1_shift = jnp.concatenate([y1[1:], y1[:1]], axis=0)
 
-    # ONE wide matmul instead of six accumulating dots (see module doc):
-    # lane-concat the six shifted operands (p-major, then dr, matching the
-    # W2cat block order) and let the MXU's K loop do the accumulation in
-    # registers — an ``acc = acc + dot(...)`` chain re-materializes the
-    # f32 accumulator in VMEM per dot, which dominated the previous rev.
-    a2 = jnp.concatenate(
-        [y1[dr * _PP : dr * _PP + M] for dr in range(3)]
-        + [y1_shift[dr * _PP : dr * _PP + M] for dr in range(3)],
-        axis=1,
-    )  # [M, 768]
-    acc = jax.lax.dot_general(
-        a2, w2_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    # pool FIRST (monotone max, uniform per-channel bias), then bias+ReLU
-    # on the 4x-smaller pooled map
-    pooled_h = jnp.maximum(acc[:, :64], acc[:, 64:])  # [M, 64]
+    # Stage 2 streams over M-chunks: each chunk lane-concats the six
+    # shifted operands (p-major, then dr, matching the W2cat block order)
+    # into ONE [CH, 768] matrix and contracts it in a single matmul — the
+    # MXU's internal K loop accumulates in registers (an
+    # ``acc = acc + dot(...)`` chain re-materializes the f32 accumulator
+    # in VMEM per dot, which dominated an earlier revision), while the
+    # chunking keeps the concat buffer at ~2.5 MB so a large R (fewer,
+    # better-amortized grid steps) still fits VMEM.  Chunk boundaries are
+    # multiples of 10 image rows, so pooling never crosses a chunk.
     b2 = b2_ref[0]
-    for k in range(R // 2):
-        a = pooled_h[(2 * k) * _PP : (2 * k) * _PP + _PP]
-        b = pooled_h[(2 * k + 1) * _PP : (2 * k + 1) * _PP + _PP]
-        v = jnp.maximum(jnp.maximum(a, b) + b2[None, :], 0.0)
-        out_ref[0, k] = v[: _PAIRS - 1].astype(out_ref.dtype)
+    rows_per_chunk = _CH // _PP
+    out_rows = rows_per_chunk // 2
+    for ci in range(M // _CH):
+        base = ci * _CH
+        a2 = jnp.concatenate(
+            [y1[dr * _PP + base : dr * _PP + base + _CH] for dr in range(3)]
+            + [y1_shift[dr * _PP + base : dr * _PP + base + _CH] for dr in range(3)],
+            axis=1,
+        )  # [CH, 768]
+        acc = jax.lax.dot_general(
+            a2, w2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # pool FIRST (monotone max, uniform per-channel bias), then
+        # bias+ReLU on the 4x-smaller pooled map
+        pooled_h = jnp.maximum(acc[:, :64], acc[:, 64:])  # [CH, 64]
+        for k in range(out_rows):
+            a = pooled_h[(2 * k) * _PP : (2 * k) * _PP + _PP]
+            b = pooled_h[(2 * k + 1) * _PP : (2 * k + 1) * _PP + _PP]
+            v = jnp.maximum(jnp.maximum(a, b) + b2[None, :], 0.0)
+            out_ref[0, ci * out_rows + k] = v[: _PAIRS - 1].astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
