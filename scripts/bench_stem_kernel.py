@@ -1,7 +1,10 @@
 #!/usr/bin/env python
-"""Benchmark the fused Pallas stem kernel vs the XLA conv block on the TPU.
+"""On-chip CORRECTNESS check of the fused Pallas stem kernel vs the XLA
+conv oracle (--check).  For timing, use scripts/bench_stem_one.py — this
+script's loop timing predates the trustworthy chained/slope-fit protocol
+and is kept only for the correctness comparison.
 
-Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_stem_kernel.py
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_stem_kernel.py --check --iters 2
 """
 from __future__ import annotations
 
