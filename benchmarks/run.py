@@ -110,21 +110,33 @@ def bench_single() -> dict:
             "unit": "ms"}
 
 
-def bench_batched(batch_size: int = 32, fold_bn: bool = True) -> dict:
+def bench_batched(batch_size: int = 32, fold_bn: bool = True,
+                  stem_kernel: bool | None = None) -> dict:
     """Config 2: batched inference + decode + per-class NMS.
 
-    Runs the serving configuration (BatchNorm folded into conv weights,
-    what Detector.from_weights defaults to) unless ``fold_bn=False``.
+    Runs the serving configuration: BatchNorm folded into conv weights and
+    (on TPU backends) the fused Pallas stem kernel — what
+    Detector.from_weights defaults to on TPU and what bench.py measures.
     """
     import jax
     import jax.numpy as jnp
 
+    from ssdx.model import SSD300
+    from ssdx.ops.pallas_stem import stem_conv_pool
     from ssdx.predict import postprocess
 
+    if stem_kernel is None:
+        stem_kernel = fold_bn and jax.default_backend() in ("tpu", "axon")
     model, variables, priors, _ = _model_and_priors(fold_bn=fold_bn)
+    if stem_kernel:
+        model = SSD300(num_classes=6, dtype=jnp.bfloat16, fold_bn=True,
+                       stem_input=True)
 
     @jax.jit
     def infer(variables, images):
+        if stem_kernel:
+            images = stem_conv_pool(images.astype(jnp.bfloat16),
+                                    variables["params"])
         loc, conf = model.apply(variables, images, train=False)
         return postprocess(loc, conf, priors, score_thresh=0.2,
                            nms_thresh=0.3, max_per_img=100)
