@@ -162,7 +162,7 @@ def create_server(
     batching: bool = True,
     max_batch: int = 8,
     max_wait_ms: float = 4.0,
-    batching_warmup: bool = False,
+    batching_warmup: bool | None = None,
 ) -> ThreadingHTTPServer:
     """Build (but don't start) the threaded HTTP server.
 
@@ -184,8 +184,16 @@ def create_server(
     # predict); duck-typed predictors that only offer predict_pil fall back
     # to the serialized lock path.
     if batching and hasattr(detector, "preprocess_pil") and hasattr(detector, "predict"):
+        import jax
+
         from .batcher import MicroBatcher
 
+        if batching_warmup is None:
+            # TPU compiles are minutes through a remote-compile service; the
+            # first upload would otherwise stall behind them (measured: the
+            # very first request exceeded 120 s).  On CPU the demo's lazy
+            # compile is acceptable and warmup would slow startup.
+            batching_warmup = jax.default_backend() in ("tpu", "axon")
         predictor = MicroBatcher(
             detector, max_batch=max_batch, max_wait_ms=max_wait_ms,
             warmup=batching_warmup,

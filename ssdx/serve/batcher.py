@@ -51,7 +51,7 @@ class MicroBatcher:
         detector,
         max_batch: int = 8,
         max_wait_ms: float = 4.0,
-        request_timeout_s: float = 120.0,
+        request_timeout_s: float = 600.0,  # first requests may wait on XLA compiles
         warmup: bool = False,
     ):
         self.detector = detector
