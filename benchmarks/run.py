@@ -48,7 +48,13 @@ def _timeit(fn, n_short=8, n_long=24):
     """
     import jax.numpy as jnp
 
-    float(fn(0, jnp.float32(0.0)))  # warmup/compile + materialize
+    # Warm up BOTH signatures: the first call (plain host scalar chain) and
+    # a second call whose chain was produced on device — under a mesh the
+    # produced scalar carries a NamedSharding, which is a different jit cache
+    # key; without this the first timed run pays that recompile and the
+    # two-length differencing goes negative.
+    c = fn(0, jnp.float32(0.0))
+    float(fn(1, c))
     totals = []
     for n in (n_short, n_long):
         chain = jnp.float32(0.0)
@@ -111,12 +117,19 @@ def bench_single() -> dict:
 
 
 def bench_batched(batch_size: int = 32, fold_bn: bool = True,
-                  stem_kernel: bool | None = None) -> dict:
+                  stem_kernel: bool | None = None,
+                  use_mesh: bool = False) -> dict:
     """Config 2: batched inference + decode + per-class NMS.
 
     Runs the serving configuration: BatchNorm folded into conv weights and
     (on TPU backends) the fused Pallas stem kernel — what
     Detector.from_weights defaults to on TPU and what bench.py measures.
+
+    ``use_mesh``: shard the batch over a data-parallel mesh of ALL attached
+    devices (shard_map forward, GSPMD postprocess — the ssdx/api.py
+    Detector(mesh=...) path); ``batch_size`` becomes the GLOBAL batch
+    (per-device share = batch_size / n_devices) and the report carries both
+    aggregate and per-device throughput.
     """
     import jax
     import jax.numpy as jnp
@@ -126,18 +139,44 @@ def bench_batched(batch_size: int = 32, fold_bn: bool = True,
     from ssdx.predict import postprocess
 
     if stem_kernel is None:
-        stem_kernel = fold_bn and jax.default_backend() in ("tpu", "axon")
+        # The Pallas stem custom call inside shard_map stalls on the
+        # experimental tunneled (axon) backend (measured: dispatches hang;
+        # plain convs under shard_map run at full speed), so mesh mode
+        # defaults to the conv stem.  On a real multi-chip slice
+        # shard_map+Pallas is the standard pattern — pass stem_kernel=True
+        # to re-enable.
+        stem_kernel = (not use_mesh) and fold_bn and \
+            jax.default_backend() in ("tpu", "axon")
     model, variables, priors, _ = _model_and_priors(fold_bn=fold_bn)
     if stem_kernel:
         model = SSD300(num_classes=6, dtype=jnp.bfloat16, fold_bn=True,
                        stem_input=True)
 
-    @jax.jit
-    def infer(variables, images):
+    def fwd(variables, images):
         if stem_kernel:
             images = stem_conv_pool(images.astype(jnp.bfloat16),
                                     variables["params"])
         loc, conf = model.apply(variables, images, train=False)
+        return loc, conf
+
+    n_dev = 1
+    in_sharding = None
+    if use_mesh:
+        from jax.sharding import PartitionSpec as PS
+
+        from ssdx.mesh import DATA_AXIS, batch_sharding, create_mesh, replicated
+
+        mesh = create_mesh()
+        n_dev = mesh.devices.size
+        batch_size = max(n_dev, batch_size - batch_size % n_dev)
+        fwd = jax.shard_map(fwd, mesh=mesh, in_specs=(PS(), PS(DATA_AXIS)),
+                            out_specs=PS(DATA_AXIS), check_vma=False)
+        variables = jax.device_put(variables, replicated(mesh))
+        in_sharding = batch_sharding(mesh)
+
+    @jax.jit
+    def infer(variables, images):
+        loc, conf = fwd(variables, images)
         return postprocess(loc, conf, priors, score_thresh=0.2,
                            nms_thresh=0.3, max_per_img=100)
 
@@ -146,14 +185,21 @@ def bench_batched(batch_size: int = 32, fold_bn: bool = True,
         jnp.asarray(rng.normal(0, 1, (batch_size, 300, 300, 3)).astype(np.float32))
         for _ in range(32)
     ]
+    if in_sharding is not None:
+        batches = [jax.device_put(b, in_sharding) for b in batches]
 
     def one(i, chain):
         det = infer(variables, batches[i % 32] + (chain * 1e-30))
         return jnp.sum(det.scores, dtype=jnp.float32)
 
     dt = _timeit(one)
-    return {"metric": f"ssd300_batched_inference_bs{batch_size}",
-            "value": round(batch_size / dt, 2), "unit": "images/sec"}
+    out = {"metric": f"ssd300_batched_inference_bs{batch_size}",
+           "value": round(batch_size / dt, 2), "unit": "images/sec"}
+    if use_mesh:
+        out["metric"] += f"_mesh{n_dev}"
+        out["n_devices"] = n_dev
+        out["per_device_images_per_sec"] = round(batch_size / dt / n_dev, 2)
+    return out
 
 
 def bench_augment(batch_size: int = 16) -> dict:
@@ -249,13 +295,18 @@ def main(argv=None) -> None:
     ap.add_argument("which", nargs="?", default="all",
                     choices=["single", "batched", "augment", "train", "e2e", "all"])
     ap.add_argument("--data-dir", help="required for e2e")
+    ap.add_argument("--mesh", action="store_true",
+                    help="batched config: shard over all attached devices")
+    ap.add_argument("--batch-size", type=int, default=32,
+                    help="batched config: global batch size")
     args = ap.parse_args(argv)
 
     runs = []
     if args.which in ("single", "all"):
         runs.append(bench_single)
     if args.which in ("batched", "all"):
-        runs.append(bench_batched)
+        runs.append(lambda: bench_batched(batch_size=args.batch_size,
+                                          use_mesh=args.mesh))
     if args.which in ("augment", "all"):
         runs.append(bench_augment)
     if args.which in ("train", "all"):

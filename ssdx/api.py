@@ -41,6 +41,7 @@ class Detector:
         rng_seed: int = 0,
         fold_bn: bool = False,
         stem_kernel: bool = False,
+        mesh=None,
     ):
         self.class_to_idx = dict(class_to_idx)
         self.idx_to_class = {v: k for k, v in class_to_idx.items()}
@@ -79,11 +80,35 @@ class Detector:
                 )
                 return rest.apply(variables, feats, train=False)
 
-            self._forward = jax.jit(_fwd)
         else:
-            self._forward = jax.jit(
-                lambda variables, images: self.model.apply(variables, images, train=False)
+
+            def _fwd(variables, images):
+                return self.model.apply(variables, images, train=False)
+
+        # Data-parallel inference: with a mesh the forward runs under
+        # shard_map over the ``data`` axis (each device computes its batch
+        # shard independently — SSD inference has no cross-device
+        # communication, so this also lets the Pallas stem kernel run
+        # per-shard without GSPMD having to partition a custom call).
+        # Postprocess then runs on the sharded logits; every op in it is
+        # batch-elementwise, so GSPMD keeps the batch axis sharded for free.
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as PS
+
+            from .mesh import DATA_AXIS, replicated
+
+            sharded = jax.shard_map(
+                _fwd,
+                mesh=mesh,
+                in_specs=(PS(), PS(DATA_AXIS)),
+                out_specs=PS(DATA_AXIS),
+                check_vma=False,
             )
+            self._forward = jax.jit(sharded)
+            self.variables = jax.device_put(self.variables, replicated(mesh))
+        else:
+            self._forward = jax.jit(_fwd)
 
     # ---- weights ----
 
@@ -116,8 +141,27 @@ class Detector:
 
     def forward(self, images) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Raw heads: images [B,300,300,3] (normalized, NHWC) ->
-        (loc [B,P,4], cls [B,P,C])."""
-        return self._forward(self.variables, jnp.asarray(images))
+        (loc [B,P,4], cls [B,P,C]).
+
+        With a mesh, the batch is zero-padded up to a multiple of the mesh
+        size (shard_map needs an evenly divisible leading axis) and the pad
+        rows are dropped from the outputs."""
+        images = jnp.asarray(images)
+        if self.mesh is None:
+            return self._forward(self.variables, images)
+
+        from .mesh import batch_sharding
+
+        n = self.mesh.devices.size
+        b = images.shape[0]
+        pad = (-b) % n
+        if pad:
+            images = jnp.concatenate(
+                [images, jnp.zeros((pad, *images.shape[1:]), images.dtype)]
+            )
+        images = jax.device_put(images, batch_sharding(self.mesh))
+        loc, conf = self._forward(self.variables, images)
+        return (loc[:b], conf[:b]) if pad else (loc, conf)
 
     def predict_batched(
         self,

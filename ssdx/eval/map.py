@@ -24,8 +24,9 @@ restricted to a single IoU threshold:
     three come from one matching pass.
 
 Metric accumulation is host-side; the O(n_det x n_gt) greedy matching inner
-loop uses the native C++ kernel (ssdx/ops/native, the analog of pycocotools'
-C backend) for the no-ignore all-area pass, with a numpy fallback.
+loop uses the ignore-aware native C++ kernel (ssdx/ops/native, the analog of
+pycocotools' C backend) for every area range, with a numpy fallback when no
+compiler is available.
 """
 from __future__ import annotations
 
@@ -166,7 +167,6 @@ class MeanAP:
         rows_t: list[np.ndarray] = []
         n_gt = 0
         tp_at_k = {k: 0 for k in ks}
-        all_range = lo <= 0.0 and hi >= 1e10
         for scores, det_boxes, gt_boxes in self._entries.get(c, []):
             gt_area = _box_area(gt_boxes)
             # pycocotools: inclusive on both ends (area < lo or area > hi ignores)
@@ -174,11 +174,12 @@ class MeanAP:
             n_gt += int((~gt_ig).sum())
             if len(scores) == 0:
                 continue
-            if all_range and _native.available():
-                tp = _native.match_detections(
-                    det_boxes, gt_boxes, self.iou_threshold
-                ).astype(bool)
-                mig = np.zeros(len(scores), bool)
+            if _native.available():
+                # the C++ kernel covers every range (ignore-aware); the
+                # numpy loop below is the no-compiler fallback
+                tp, mig = _native.match_detections_ignore(
+                    det_boxes, gt_boxes, gt_ig, self.iou_threshold
+                )
             else:
                 tp, mig = _match_with_ignore(
                     det_boxes, gt_boxes, gt_ig, self.iou_threshold

@@ -14,7 +14,7 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["available", "match_detections", "nms_diou"]
+__all__ = ["available", "match_detections", "match_detections_ignore", "nms_diou"]
 
 _DIR = Path(__file__).parent
 _SRC = _DIR / "ssdx_native.cpp"
@@ -55,6 +55,13 @@ def _load():
             ctypes.c_float, ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.ssdx_match_detections.restype = None
+        lib.ssdx_match_detections_ignore.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_float,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.ssdx_match_detections_ignore.restype = None
         lib.ssdx_nms_diou.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int32, ctypes.c_float, ctypes.POINTER(ctypes.c_int32),
@@ -86,6 +93,37 @@ def match_detections(
         np.float32(iou_thresh), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out
+
+
+def match_detections_ignore(
+    det_boxes: np.ndarray,
+    gt_boxes: np.ndarray,
+    gt_ig: np.ndarray,
+    iou_thresh: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Ignore-aware greedy COCO matching (pycocotools evaluateImg) for one
+    (image, class, area-range) group.
+
+    det_boxes [n,4] score-desc; gt_boxes [m,4]; gt_ig [m] bool (True =
+    out-of-range GT).  Returns (tp [n] bool, matched_ignored [n] bool) —
+    the exact contract of ssdx.eval.map._match_with_ignore.  GTs are sorted
+    non-ignored-first here (the kernel requires it; the matching result is
+    order-independent given that invariant).
+    """
+    lib = _load()
+    order = np.argsort(np.asarray(gt_ig, bool), kind="stable")
+    det = np.ascontiguousarray(det_boxes, np.float32)
+    gt = np.ascontiguousarray(np.asarray(gt_boxes)[order], np.float32)
+    ig = np.ascontiguousarray(np.asarray(gt_ig, np.uint8)[order])
+    tp = np.zeros(len(det), np.uint8)
+    mig = np.zeros(len(det), np.uint8)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    lib.ssdx_match_detections_ignore(
+        _fptr(det), np.int32(len(det)), _fptr(gt), np.int32(len(gt)),
+        ig.ctypes.data_as(u8), np.float32(iou_thresh),
+        tp.ctypes.data_as(u8), mig.ctypes.data_as(u8),
+    )
+    return tp.astype(bool), mig.astype(bool)
 
 
 def nms_diou(boxes: np.ndarray, scores: np.ndarray, thresh: float) -> np.ndarray:

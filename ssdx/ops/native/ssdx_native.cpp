@@ -89,6 +89,45 @@ void ssdx_match_detections(const float* det_boxes, int32_t n_det,
   }
 }
 
+// Ignore-aware greedy COCO matching (pycocotools evaluateImg semantics) for
+// one (image, class, area-range) group — the kernel behind the mAP area
+// splits (ssdx/eval/map.py::_match_with_ignore is the numpy oracle).
+// det_boxes: [n_det, 4] xyxy, score-descending order.
+// gt_boxes:  [n_gt, 4] xyxy, PRE-SORTED so non-ignored GTs come first.
+// gt_ig:     [n_gt] 1 = ignored GT (out of the area range).
+// tp_out:    [n_det] 1 = matched a non-ignored GT (true positive).
+// mig_out:   [n_det] 1 = matched an ignored GT (dropped from the PR rows).
+// Matching rules (identical to pycocotools): a detection takes the
+// highest-IoU unmatched GT with IoU >= thresh, later GT wins ties; once a
+// non-ignored GT is held, it is never traded for an ignored one.
+void ssdx_match_detections_ignore(const float* det_boxes, int32_t n_det,
+                                  const float* gt_boxes, int32_t n_gt,
+                                  const uint8_t* gt_ig, float iou_thresh,
+                                  uint8_t* tp_out, uint8_t* mig_out) {
+  std::vector<uint8_t> taken(static_cast<size_t>(n_gt > 0 ? n_gt : 0), 0);
+  const float thresh =
+      iou_thresh < 1.f - 1e-10f ? iou_thresh : 1.f - 1e-10f;
+  for (int32_t d = 0; d < n_det; ++d) {
+    tp_out[d] = 0;
+    mig_out[d] = 0;
+    const float* db = det_boxes + 4 * d;
+    float best = thresh;
+    int32_t m = -1;
+    for (int32_t g = 0; g < n_gt; ++g) {
+      if (taken[g]) continue;
+      if (m > -1 && !gt_ig[m] && gt_ig[g]) break;
+      const float v = iou(db, gt_boxes + 4 * g);
+      if (v < best) continue;
+      best = v;
+      m = g;
+    }
+    if (m > -1) {
+      taken[m] = 1;
+      if (gt_ig[m]) mig_out[d] = 1; else tp_out[d] = 1;
+    }
+  }
+}
+
 // Exact greedy DIoU-NMS.  boxes [n,4] xyxy, scores [n].
 // keep_out [n] receives kept indices (original index space, score-desc
 // order); returns the number kept.

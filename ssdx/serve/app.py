@@ -122,17 +122,23 @@ def create_detector(weights_path: str | os.PathLike | None = None):
     """Build the serving Detector, loading exported weights when present.
 
     On a TPU backend the fused Pallas stem kernel is enabled (measured
-    faster end-to-end); on CPU it would run in slow interpret mode, so the
-    plain XLA path is used."""
+    faster end-to-end) and the network runs in bfloat16 — the configuration
+    bench.py/benchmarks measure and the one the stem kernel's tile layout
+    was tuned for.  On CPU the kernel would run in slow interpret mode and
+    bf16 is emulated, so the plain XLA float32 path is used."""
     import jax
+    import jax.numpy as jnp
 
     from ..api import Detector
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
     weights_path = Path(weights_path or DEFAULT_WEIGHTS)
     if weights_path.exists():
-        return Detector.from_weights(weights_path, CLASS_TO_IDX, stem_kernel=on_tpu)
-    return Detector(CLASS_TO_IDX, fold_bn=on_tpu, stem_kernel=on_tpu)
+        return Detector.from_weights(
+            weights_path, CLASS_TO_IDX, stem_kernel=on_tpu, dtype=dtype
+        )
+    return Detector(CLASS_TO_IDX, fold_bn=on_tpu, stem_kernel=on_tpu, dtype=dtype)
 
 
 def _parse_multipart(headers, body: bytes) -> bytes | None:
@@ -197,6 +203,12 @@ def create_server(
         predictor = MicroBatcher(
             detector, max_batch=max_batch, max_wait_ms=max_wait_ms,
             warmup=batching_warmup,
+            # must match the render path's kwargs exactly — they are static
+            # jit args, so different values mean different compiled programs
+            warmup_kwargs=dict(
+                score_thresh=score_thresh, nms_thresh=nms_thresh,
+                max_per_img=max_per_img,
+            ),
         )
         lock = None  # the batcher's worker thread serializes device work
     else:

@@ -53,9 +53,14 @@ class MicroBatcher:
         max_wait_ms: float = 4.0,
         request_timeout_s: float = 600.0,  # first requests may wait on XLA compiles
         warmup: bool = False,
+        warmup_kwargs: dict | None = None,
     ):
         self.detector = detector
         self.idx_to_class = detector.idx_to_class
+        # score/nms/max_per_img are STATIC jit args of postprocess: warmup
+        # must compile with the same values real traffic will use or the
+        # first real request per bucket still pays an XLA compile.
+        self.warmup_kwargs = dict(warmup_kwargs or {})
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
         self.request_timeout_s = request_timeout_s
@@ -81,7 +86,8 @@ class MicroBatcher:
         for b in self._buckets:
             try:
                 self.detector.predict(
-                    np.zeros((b, 300, 300, 3), np.float32))
+                    np.zeros((b, 300, 300, 3), np.float32),
+                    **self.warmup_kwargs)
             except Exception:
                 return  # warmup is best-effort
 

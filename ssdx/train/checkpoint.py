@@ -13,6 +13,13 @@ same class of container format as ``torch.save``).  A ``save_params`` /
 ``load_params`` pair provides the weights-only export the serving app needs
 (the reference app loads a bare state_dict, ssd_demo_app.py:34).
 
+Epoch convention (format 2): ``epoch`` is the 0-based index of the LAST
+COMPLETED epoch and ``load_checkpoint`` returns ``start_epoch = epoch + 1``.
+Format-1 checkpoints (round-1 ssdx, which stored a 1-based completed count)
+would resume one epoch short; none were ever published, so no migration
+shim is carried — the ``format`` key exists to make any future change
+detectable at load time.
+
 Multi-host: when ``jax.process_count() > 1`` the pickle format is wrong
 (every process would serialize the full state and race on one file), so
 ``save_checkpoint`` auto-dispatches to the per-process-sharded orbax format
@@ -74,6 +81,7 @@ def save_checkpoint(
             epoch, state, loss_dict, rng_key, best_metric, outdir, tag
         )
     ckpt = {
+        "format": 2,  # epoch = 0-based last-completed index (module docstring)
         "epoch": int(epoch),
         "step": int(state.step),
         "params": _to_numpy(state.params),

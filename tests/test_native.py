@@ -53,6 +53,27 @@ def test_match_empty_cases():
     assert len(native.match_detections(np.zeros((0, 4), np.float32), det, 0.5)) == 0
 
 
+def test_match_detections_ignore_vs_numpy_oracle():
+    """The C++ ignore-aware matcher must agree with the numpy oracle
+    (_match_with_ignore) on random cases across area-range ignore masks."""
+    from ssdx.eval.map import _match_with_ignore
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        nd, ng = int(rng.integers(0, 15)), int(rng.integers(0, 8))
+        det = _rand_boxes(rng, nd)
+        # half the GTs overlap detections so matches actually occur
+        gt = np.concatenate([det[: min(nd, ng)] + rng.normal(0, 4, (min(nd, ng), 4)).astype(np.float32),
+                             _rand_boxes(rng, max(0, ng - min(nd, ng)))])
+        gt = gt[:ng]
+        gt_ig = rng.uniform(size=ng) < 0.4
+        for thresh in (0.3, 0.5, 1.0):
+            tp_n, mig_n = native.match_detections_ignore(det, gt, gt_ig, thresh)
+            tp_p, mig_p = _match_with_ignore(det, gt, gt_ig, thresh)
+            np.testing.assert_array_equal(tp_n, tp_p)
+            np.testing.assert_array_equal(mig_n, mig_p)
+
+
 def test_nms_diou_vs_jax_impl():
     import jax.numpy as jnp
 
