@@ -6,6 +6,9 @@ survivor sets, and per-class NMS blocks.  Here the whole batch is one compiled
 program with fixed shapes:
 
   1. softmax over class logits, drop background column         (:388)
+     — materialized only for selected priors; stage-1 ranking runs on a
+     monotone logit-space key (max foreground logit - logsumexp), which
+     selects identical priors without the full [B, P, C] softmax
   2. top-K (prior, class) candidates by score per image — replaces the
      reference's ragged ``keep_mask.nonzero`` survivor gather   (:402-412).
      Selection is two-stage to dodge the cost of a full-width top_k on TPU
@@ -84,7 +87,7 @@ def postprocess(
     top_k_candidates: int | None = None,
     prior_top_k: int | None = None,
     variances: tuple[float, float] = (0.1, 0.2),
-    nms_backend: str = "xla",
+    nms_backend: str = "auto",
 ) -> Detections:
     """Decode + threshold + NMS for a whole batch in one compiled program.
 
@@ -106,6 +109,21 @@ def postprocess(
     Kp = min(prior_top_k, P)
     K = min(top_k_candidates, Kp * n_fg)
 
+    if nms_backend == "auto":
+        # Pallas masked-scan NMS wins on TPU (r3 measurement: full
+        # postprocess 2.9 vs 4.3 ms/iter at bs=32 with the XLA fixpoint),
+        # but its in-VMEM [K, K] DIoU working set caps the candidate width;
+        # wide-K eval runs (score_thresh < 0.1 -> K=1600) fall back to XLA.
+        # Resolution respects a jax.default_device(cpu) context (the
+        # process backend alone would wrongly pick Pallas for programs
+        # pinned to the host CPU, e.g. scripts/tpu_parity_check.py).
+        dev = jax.config.jax_default_device
+        if dev is None:
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+        else:
+            on_tpu = getattr(dev, "platform", str(dev)) in ("tpu", "axon")
+        nms_backend = "pallas" if (on_tpu and K <= 512) else "xla"
+
     # Keep postprocessing in its own fusion island.  Two independent
     # reasons, re-validated under the chained timing protocol
     # (scripts/check_barrier.py):
@@ -118,24 +136,35 @@ def postprocess(
     #      the barrier vs 35.4 ms fused; identical results).
     loc_all, conf_all = jax.lax.optimization_barrier((loc_all, conf_all))
 
-    scores_all = jax.nn.softmax(conf_all, axis=-1)[..., 1:]  # [B, P, C-1]
+    # stage 1: top priors by best foreground class.  Ranking happens in
+    # LOGIT space — per prior, log softmax = logit - logsumexp(logits) is a
+    # monotone transform, so top-k by (max foreground logit - lse) selects
+    # exactly the same priors as top-k by max softmax score, without
+    # materializing the [B, P, C] softmax (r3 measurement: ~0.7 ms/iter
+    # saved at bs=32).  Softmax probabilities are then computed only for
+    # the Kp selected priors.
+    key = jnp.max(conf_all[..., 1:], axis=-1) - jax.nn.logsumexp(conf_all, axis=-1)
+    _, prior_sel = jax.lax.top_k(key, Kp)  # [B, Kp]
+    sel_logits = jnp.take_along_axis(
+        conf_all, prior_sel[..., None], axis=1
+    )  # [B, Kp, C]
+    pair_scores = jax.nn.softmax(sel_logits, axis=-1)[..., 1:]  # [B, Kp, n_fg]
 
-    # stage 1: top priors by best foreground class (cheap top_k over P)
-    _, prior_sel = jax.lax.top_k(jnp.max(scores_all, axis=-1), Kp)  # [B, Kp]
-    pair_scores = jnp.take_along_axis(
-        scores_all, prior_sel[..., None], axis=1
-    )  # [B, Kp, n_fg]
+    # Decode at stage-1 granularity: boxes depend on the prior only (not the
+    # class), so decoding the Kp selected priors once and gathering decoded
+    # boxes per (prior, class) pair afterwards does strictly less work than
+    # decoding K pairs — and turns the stage-2 gathers into small [B, Kp]
+    # -table lookups instead of random access into the 8732-row loc/prior
+    # tables (TPU gathers are latency-bound on table height).
+    sel_loc = jnp.take_along_axis(loc_all, prior_sel[..., None], axis=1)
+    dec = B.decode(sel_loc, priors_cxcywh[prior_sel], variances)  # [B, Kp, 4]
+    xyxy_p = jnp.clip(B.cxcywh_to_xyxy(dec), 0.0, 1.0) * IMAGE_SIZE
 
     # stage 2: top pairs among the selected priors' class columns
     top_scores, pair_idx = jax.lax.top_k(pair_scores.reshape(Bsz, -1), K)
     cls_idx = (pair_idx % n_fg).astype(jnp.int32)  # [B, K]
-    prior_idx = jnp.take_along_axis(prior_sel, pair_idx // n_fg, axis=1)
     valid = top_scores > score_thresh
-
-    pri = priors_cxcywh[prior_idx]  # [B, K, 4]
-    dec = B.decode(jnp.take_along_axis(loc_all, prior_idx[..., None], axis=1),
-                   pri, variances)
-    xyxy = jnp.clip(B.cxcywh_to_xyxy(dec), 0.0, 1.0) * IMAGE_SIZE
+    xyxy = jnp.take_along_axis(xyxy_p, (pair_idx // n_fg)[..., None], axis=1)
 
     keep = batched_nms_mask(
         xyxy,
