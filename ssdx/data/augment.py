@@ -21,13 +21,18 @@ jit with per-image PRNG keys.  Rejection sampling ("trials") becomes a fixed
 number of vectorized candidate draws with a first-valid-wins select —
 compiler-friendly control flow instead of a data-dependent Python loop.
 
-Crop-sampling semantics follow torchvision v2 RandomIoUCrop: each trial draws
-a sampler option (an option >= 1.0 is the "no crop" sentinel — the reference
-passes 2.0, SSD_trainer.py:979-981); a candidate window must satisfy the
-aspect-ratio bound, have max IoU with the GT boxes >= the drawn option, and
-contain at least one box center.  Boxes whose centers fall outside the chosen
-window are dropped (the SanitizeBoundingBoxes step), as are boxes smaller
-than ``min_size`` pixels after clamping.
+Crop-sampling semantics follow torchvision v2 RandomIoUCrop exactly (see
+``_sample_iou_crop``): an outer loop draws ONE sampler option per round (an
+option >= 1.0 is the "no crop" sentinel — the reference passes 2.0,
+SSD_trainer.py:979-981) and tries ``trials`` candidate windows against that
+option, redrawing the option when all fail; a candidate must satisfy the
+aspect-ratio bound, contain at least one box center, and have max IoU over
+the center-inside boxes >= the option.  The infinite outer loop is
+truncated at ``outer_rounds`` (fixed shapes); the distributional match to a
+faithful host-side implementation is asserted in
+tests/test_augment_semantics.py.  Boxes whose centers fall outside the
+chosen window are dropped (the SanitizeBoundingBoxes step), as are boxes
+smaller than ``min_size`` pixels after clamping.
 """
 from __future__ import annotations
 
@@ -61,6 +66,11 @@ class AugmentConfig(NamedTuple):
     small_sampler_options: tuple = (0.0, 0.05, 0.1, 2.0)
     large_sampler_options: tuple = (0.05, 0.1, 0.3, 2.0)
     trials: int = 10
+    # torchvision's outer loop redraws the option forever until the sentinel
+    # or a success; the fixed-shape form truncates it at ``outer_rounds``
+    # (residual-failure probability after 8 rounds is < 1e-3 for the
+    # reference's samplers — measured in tests/test_augment_semantics.py)
+    outer_rounds: int = 8
     # SanitizeBoundingBoxes
     min_box_size: float = 1.0
     # RandomHorizontalFlip
@@ -175,53 +185,71 @@ def _window_iou(win, boxes):
 
 
 def _sample_iou_crop(key, size, boxes, valid, min_scale, options, cfg: AugmentConfig):
-    """Vectorized RandomIoUCrop trial loop for one image.
+    """Fixed-shape form of torchvision v2 RandomIoUCrop's sampling loop.
 
-    Returns an xyxy window in source pixel coords ([0,0,size,size] if no
-    valid candidate / sentinel option drawn).
+    torchvision (relied on via ConditionalIoUCrop, SSD_trainer.py:979-1003)
+    runs: an OUTER infinite loop drawing ONE sampler option per iteration —
+    a sentinel option (>= 1.0) returns the identity immediately; otherwise
+    an inner loop of ``trials`` candidate windows is tried against that one
+    option, and if all fail the outer loop redraws the option.  Here the
+    outer loop is truncated at ``cfg.outer_rounds`` rounds (all rounds'
+    candidates are drawn vectorized up front; first successful round wins,
+    first valid candidate within it), with an identity fallback for the
+    < 1e-3-probability case that every round fails.
+
+    Candidate validity matches torchvision exactly: aspect-ratio bound,
+    at least one GT center strictly inside, and max IoU **over the
+    center-inside boxes only** >= the round's option (boxes whose centers
+    fall outside do not count toward the IoU requirement).
+
+    Returns an xyxy window in source pixel coords.
     """
-    T = cfg.trials
+    R, T = cfg.outer_rounds, cfg.trials
     kopt, kw, kh, kx, ky = jax.random.split(key, 5)
     options = jnp.asarray(options, jnp.float32)
-    opt = options[jax.random.randint(kopt, (T,), 0, options.shape[0])]
+    opt = options[jax.random.randint(kopt, (R,), 0, options.shape[0])]  # [R]
 
-    w = jax.random.uniform(kw, (T,), minval=min_scale, maxval=cfg.max_scale) * size
-    h = jax.random.uniform(kh, (T,), minval=min_scale, maxval=cfg.max_scale) * size
+    w = jax.random.uniform(kw, (R, T), minval=min_scale, maxval=cfg.max_scale) * size
+    h = jax.random.uniform(kh, (R, T), minval=min_scale, maxval=cfg.max_scale) * size
     aspect = w / h
     aspect_ok = (aspect >= cfg.min_aspect_ratio) & (aspect <= cfg.max_aspect_ratio)
-    x0 = jax.random.uniform(kx, (T,)) * (size - w)
-    y0 = jax.random.uniform(ky, (T,)) * (size - h)
-    wins = jnp.stack([x0, y0, x0 + w, y0 + h], axis=1)  # [T, 4]
-
-    ious = jax.vmap(lambda wn: _window_iou(wn, boxes))(wins)  # [T, G]
-    ious = jnp.where(valid[None, :], ious, -1.0)
-    iou_ok = jnp.max(ious, axis=1) >= opt
+    x0 = jax.random.uniform(kx, (R, T)) * (size - w)
+    y0 = jax.random.uniform(ky, (R, T)) * (size - h)
+    wins = jnp.stack([x0, y0, x0 + w, y0 + h], axis=-1)  # [R, T, 4]
 
     centers = 0.5 * (boxes[:, :2] + boxes[:, 2:])  # [G, 2]
     inside = (
-        (centers[None, :, 0] > wins[:, 0:1])
-        & (centers[None, :, 0] < wins[:, 2:3])
-        & (centers[None, :, 1] > wins[:, 1:2])
-        & (centers[None, :, 1] < wins[:, 3:4])
-    ) & valid[None, :]
-    center_ok = inside.any(axis=1)
+        (centers[None, None, :, 0] > wins[..., 0:1])
+        & (centers[None, None, :, 0] < wins[..., 2:3])
+        & (centers[None, None, :, 1] > wins[..., 1:2])
+        & (centers[None, None, :, 1] < wins[..., 3:4])
+    ) & valid[None, None, :]  # [R, T, G]
+    center_ok = inside.any(axis=-1)
 
-    sentinel = opt >= 1.0  # "no crop" option: identity window, always valid
-    trial_ok = sentinel | (aspect_ok & iou_ok & center_ok)
+    ious = jax.vmap(jax.vmap(lambda wn: _window_iou(wn, boxes)))(wins)  # [R, T, G]
+    # torchvision computes the IoU requirement over center-inside boxes only
+    ious = jnp.where(inside, ious, -1.0)
+    iou_ok = jnp.max(ious, axis=-1) >= opt[:, None]
+
+    cand_ok = aspect_ok & iou_ok & center_ok  # [R, T]
+    sentinel = opt >= 1.0  # [R]; "no crop": round succeeds with identity
+    round_ok = sentinel | cand_ok.any(axis=-1)
 
     # size may be traced (the zoomed canvas side); build the window with stack
     size = jnp.asarray(size, jnp.float32)
     identity = jnp.stack([0.0 * size, 0.0 * size, size, size])
-    wins = jnp.where(sentinel[:, None], identity[None, :], wins)
 
-    # First valid trial wins (fall back to identity).  Implemented as a
-    # mask-reduction rather than ``wins[argmax(trial_ok)]``: the scalar-index
+    # First valid candidate within each round, then first successful round.
+    # Mask-reductions rather than ``wins[argmax(ok)]``: the scalar-index
     # gather form is miscompiled to zeros by the experimental TPU transport
     # backend when fused under vmap (verified empirically); the masked sum is
     # equivalent and robust.
-    first_mask = trial_ok & (jnp.cumsum(trial_ok.astype(jnp.int32)) == 1)
-    win = jnp.sum(wins * first_mask[:, None].astype(jnp.float32), axis=0)
-    return jnp.where(trial_ok.any(), win, identity)
+    first_cand = cand_ok & (jnp.cumsum(cand_ok.astype(jnp.int32), axis=-1) == 1)
+    round_win = jnp.sum(wins * first_cand[..., None].astype(jnp.float32), axis=1)
+    round_win = jnp.where(sentinel[:, None], identity[None, :], round_win)  # [R, 4]
+    first_round = round_ok & (jnp.cumsum(round_ok.astype(jnp.int32)) == 1)
+    win = jnp.sum(round_win * first_round[:, None].astype(jnp.float32), axis=0)
+    return jnp.where(round_ok.any(), win, identity)
 
 
 def _sample_window(key, size, boxes, labels, valid, cfg: AugmentConfig):
