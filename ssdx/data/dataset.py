@@ -142,6 +142,23 @@ class DetectionDataset:
                 best = max(best, int(rows["class"].notna().sum()))
         return best
 
+    def native_size(self) -> tuple[int, int] | None:
+        """(h, w) if the dataset's images share one native resolution, else
+        None.  Prefers the annotation CSV's width/height columns (the
+        preprocess pipeline writes them, C25); falls back to decoding a
+        small sample of images.  Used by the loader to pick a source size
+        that makes eval preprocessing a SINGLE antialiased resample from
+        native resolution (the reference resizes once,
+        SSD_from_scratch.py:554-560)."""
+        df = self.annotate_df
+        if {"width", "height"}.issubset(df.columns) and len(df):
+            ws, hs = df["width"].unique(), df["height"].unique()
+            if len(ws) == 1 and len(hs) == 1:
+                return int(hs[0]), int(ws[0])
+            return None
+        sizes = {self.load_image(i).shape[:2] for i in range(min(len(self), 8))}
+        return sizes.pop() if len(sizes) == 1 else None
+
     def __getitem__(self, index: int):
         img = self.load_image(index)
         h, w = img.shape[:2]

@@ -78,7 +78,7 @@ class DetectionLoader:
         dataset: DetectionDataset,
         batch_size: int,
         train: bool,
-        source_size: int = 512,
+        source_size: int | None = None,
         max_boxes: int | None = None,
         num_workers: int = 8,
         seed: int = 724,
@@ -90,6 +90,18 @@ class DetectionLoader:
         self.dataset = dataset
         self.batch_size = batch_size
         self.train = train
+        if source_size is None:
+            # Pick the dataset's uniform square native resolution so the
+            # eval path is ONE antialiased resample native -> 300 (matching
+            # the reference's single Resize, SSD_from_scratch.py:554-560;
+            # SURVEY §7 hard-parts #6 flags double resampling as a
+            # mAP-parity risk).  Non-uniform / non-square / oversized
+            # datasets fall back to a 512 host intermediate.
+            ns = dataset.native_size()
+            if ns is not None and ns[0] == ns[1] and ns[0] <= 1024:
+                source_size = ns[0]
+            else:
+                source_size = 512
         self.source_size = source_size
         # Auto-size the fixed GT padding from the dataset so no ground truth
         # is silently dropped (shapes stay static per loader); an explicit
