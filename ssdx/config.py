@@ -22,7 +22,9 @@ class DataConfig:
     test_dir: str = "data/test"
     batch_size: int = 16  # notebook BATCH_SIZE
     num_workers: int = 8  # notebook NUM_WORKERS
-    source_size: int = 512  # Udacity native resolution
+    # None = auto: the dataset's uniform square native resolution (one
+    # antialiased resample to 300; 512 happens to be Udacity native)
+    source_size: int | None = None
     max_boxes: int | None = None  # None = auto-size from the dataset (no GT loss)
     val_fraction: float = 0.25  # notebook val split of train
     seed: int = 724
@@ -48,6 +50,9 @@ class TrainConfig:
     save_dir: str = "checkpoints"
     bfloat16: bool = True  # TPU-native compute dtype
     seed: int = 724
+    # 1.0 = the reference SSD300; < 1 thins every channel count (fast
+    # tests/experiments — see ssdx.model.SSD300.width_mult)
+    width_mult: float = 1.0
 
 
 @dataclass(frozen=True)

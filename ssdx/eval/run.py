@@ -36,8 +36,9 @@ def evaluate_weights(
     iou_thresh: float = 0.4,
     bfloat16: bool = True,
     num_workers: int = 8,
-    source_size: int = 512,
+    source_size: int | None = None,
     max_boxes: int | None = None,
+    width_mult: float = 1.0,
 ) -> dict:
     """Return the evaluate() dict (losses + mAP) for one weight export."""
     ds = DetectionDataset(test_dir)
@@ -47,8 +48,10 @@ def evaluate_weights(
         ds, batch_size, train=False, num_workers=num_workers, mesh=mesh,
         source_size=source_size, max_boxes=max_boxes,
     )
+    # width_mult must match the trained width (TrainConfig.width_mult)
     model = SSD300(num_classes=num_classes,
-                   dtype=jnp.bfloat16 if bfloat16 else jnp.float32)
+                   dtype=jnp.bfloat16 if bfloat16 else jnp.float32,
+                   width_mult=width_mult)
     blob = load_params(weights_path)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
@@ -75,13 +78,15 @@ def main(argv=None) -> None:
     ap.add_argument("--score-thresh", type=float, default=0.2)
     ap.add_argument("--nms-thresh", type=float, default=0.3)
     ap.add_argument("--max-per-img", type=int, default=100)
+    ap.add_argument("--width-mult", type=float, default=1.0,
+                    help="must match the trained TrainConfig.width_mult")
     args = ap.parse_args(argv)
 
     for w in args.weights:
         out = evaluate_weights(
             w, args.test_dir, batch_size=args.batch_size,
             score_thresh=args.score_thresh, nms_thresh=args.nms_thresh,
-            max_per_img=args.max_per_img,
+            max_per_img=args.max_per_img, width_mult=args.width_mult,
         )
         m = out["mAP"]
         # m['classes'] holds the class *ids* actually present in GT or

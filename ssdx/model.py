@@ -103,19 +103,28 @@ class SSD300(nn.Module):
     auto-numbering of all later modules — and therefore the parameter tree
     the folded weights use — is unchanged; flax ignores their unused params
     at apply time.
+
+    ``width_mult`` scales every backbone/extra channel count (rounded to a
+    multiple of 8, min 8) while keeping the exact layer structure, taps,
+    and 8732-prior head contract.  width_mult < 1 exists for fast tests and
+    experiments — XLA:CPU compile time of the full-width fwd+bwd dominates
+    the test suite — and is NOT the reference architecture (that is
+    width_mult=1.0 only).
     """
 
     num_classes: int  # including background (reference: len(class_to_idx)+1)
     dtype: Any = jnp.float32
     fold_bn: bool = False
     stem_input: bool = False
+    width_mult: float = 1.0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         dt = self.dtype
         x = x.astype(dt)
+        wm = lambda f: max(8, int(f * self.width_mult) // 8 * 8)
         cbr = lambda f, use_bn=True, **kw: ConvBNRelu(
-            f, dtype=dt, use_bn=use_bn and not self.fold_bn, **kw
+            wm(f), dtype=dt, use_bn=use_bn and not self.fold_bn, **kw
         )
 
         # ---- VGG16 up to conv4_3 ----

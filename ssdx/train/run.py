@@ -73,6 +73,7 @@ def run(cfg: Config, epochs: int | None = None, resume: bool = True, log=print):
     model = SSD300(
         num_classes=num_classes,
         dtype=jnp.bfloat16 if t.bfloat16 else jnp.float32,
+        width_mult=t.width_mult,
     )
     tx, _ = build_optimizer(
         steps_per_epoch=steps_per_epoch,

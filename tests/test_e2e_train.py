@@ -42,7 +42,7 @@ def tiny_dir(tmp_path_factory):
 def _build(tiny_dir, save_dir, epochs=2):
     ds = DetectionDataset(tiny_dir)
     mesh = create_mesh()
-    model = SSD300(num_classes=len(ds.classes) + 1)
+    model = SSD300(num_classes=len(ds.classes) + 1, width_mult=0.25)
     tx, _ = build_optimizer(steps_per_epoch=2, max_epochs=epochs,
                             warmup_epochs=0, base_lr=1e-3)
     state = create_train_state(model, tx, jax.random.key(0))

@@ -27,14 +27,14 @@ def test_evaluate_weights_end_to_end(eval_dir, tmp_path):
     from ssdx.train.checkpoint import save_params
     from ssdx.eval.run import evaluate_weights
 
-    model = SSD300(num_classes=3)
+    model = SSD300(num_classes=3, width_mult=0.25)
     variables = model.init_variables(jax.random.key(0))
     w = save_params(variables["params"], variables["batch_stats"],
                     tmp_path / "m.weights")
 
     out = evaluate_weights(
         w, eval_dir, batch_size=8, bfloat16=False, num_workers=2,
-        source_size=64, max_boxes=4,
+        source_size=64, max_boxes=4, width_mult=0.25,
     )
     assert np.isfinite(out["testing loss"])
     m = out["mAP"]
