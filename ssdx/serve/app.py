@@ -134,11 +134,30 @@ def create_detector(weights_path: str | os.PathLike | None = None):
     on_tpu = jax.default_backend() in ("tpu", "axon")
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     weights_path = Path(weights_path or DEFAULT_WEIGHTS)
+    bundled = Path(__file__).parent / "demo_weights.npz"
     if weights_path.exists():
-        return Detector.from_weights(
+        det = Detector.from_weights(
             weights_path, CLASS_TO_IDX, stem_kernel=on_tpu, dtype=dtype
         )
-    return Detector(CLASS_TO_IDX, fold_bn=on_tpu, stem_kernel=on_tpu, dtype=dtype)
+        det.weights_loaded = True
+        det.demo_weights = False
+    elif bundled.exists():
+        # Bundled fallback: real weights trained on the procedural scene
+        # distribution behind /examples (scripts/make_demo_weights.py,
+        # mAP@0.5 ~0.75 on held-out scenes) — the app detects objects out
+        # of the box, with a banner stating what the weights are.
+        det = Detector.from_weights(
+            bundled, CLASS_TO_IDX, stem_kernel=on_tpu, dtype=dtype
+        )
+        det.weights_loaded = True
+        det.demo_weights = True
+    else:
+        det = Detector(CLASS_TO_IDX, fold_bn=on_tpu, stem_kernel=on_tpu, dtype=dtype)
+        # surfaced as a visible banner by the server: random-init weights
+        # draw noise boxes and must never masquerade as a working detector
+        det.weights_loaded = False
+        det.demo_weights = False
+    return det
 
 
 def _parse_multipart(headers, body: bytes) -> bytes | None:
@@ -185,6 +204,31 @@ def create_server(
         detector = create_detector()
     if port is None:
         port = int(os.environ.get("PORT", "8080"))
+    # Honest-demo banner: with no trained weights the detector draws noise
+    # boxes; say so on every HTML page instead of silently pretending
+    # (the reference app always ships trained weights, ssd_demo_app.py:32-36).
+    weights_loaded = getattr(detector, "weights_loaded", True)
+    demo_weights = getattr(detector, "demo_weights", False)
+    if not weights_loaded:
+        banner = (
+            "<div style='background:#c0392b;color:#fff;padding:0.6rem 1rem;"
+            "border-radius:6px;margin:0 0 1rem 0'><b>Untrained demo weights.</b> "
+            "No <code>saved_models/best.weights</code> was found, so the model "
+            "is randomly initialized and detections are noise. Train a model "
+            "(<code>python -m ssdx.train.run</code>) or generate demo weights "
+            "(<code>python scripts/make_demo_weights.py</code>).</div>"
+        )
+    elif demo_weights:
+        banner = (
+            "<div style='background:#b9770e;color:#fff;padding:0.6rem 1rem;"
+            "border-radius:6px;margin:0 0 1rem 0'><b>Bundled demo weights.</b> "
+            "Serving the bundled model trained on procedural street scenes "
+            "(the /examples gallery's distribution, mAP@0.5&nbsp;&asymp;&nbsp;0.75 "
+            "held-out) — not the Udacity-trained production model. Drop a real "
+            "export at <code>saved_models/best.weights</code> to replace it.</div>"
+        )
+    else:
+        banner = ""
     static_root = Path(static_dir) if static_dir else Path(__file__).parent / "static"
     # Batching needs the full Detector interface (preprocess_pil + batched
     # predict); duck-typed predictors that only offer predict_pil fall back
@@ -226,13 +270,17 @@ def create_server(
             self.end_headers()
             self.wfile.write(body)
 
+        @staticmethod
+        def _with_banner(html: str) -> bytes:
+            return html.replace("<nav>", banner + "<nav>", 1).encode()
+
         def do_GET(self):
             if self.path == "/" or self.path == "/index.html":
-                self._send(200, _INDEX_HTML.encode(), "text/html; charset=utf-8")
+                self._send(200, self._with_banner(_INDEX_HTML), "text/html; charset=utf-8")
             elif self.path == "/model-card":
-                self._send(200, _MODEL_CARD_HTML.encode(), "text/html; charset=utf-8")
+                self._send(200, self._with_banner(_MODEL_CARD_HTML), "text/html; charset=utf-8")
             elif self.path == "/examples":
-                self._send(200, self._examples_html().encode(), "text/html; charset=utf-8")
+                self._send(200, self._with_banner(self._examples_html()), "text/html; charset=utf-8")
             elif self.path.startswith("/static/"):
                 self._serve_static(self.path[len("/static/"):])
             elif self.path == "/healthz":

@@ -157,7 +157,46 @@ def save_params(params, batch_stats, path: str | Path) -> Path:
     return path
 
 
+def save_params_npz(params, batch_stats, path: str | Path) -> Path:
+    """Compressed float16 weights bundle (.npz) — the shippable demo-artifact
+    format (~45 MB vs 93 MB pickle for the full SSD300).  Keys are
+    slash-joined tree paths; load_params rebuilds the nested dict and casts
+    back to float32."""
+    path = Path(path)
+    flat: dict[str, np.ndarray] = {}
+
+    def walk(t, pre):
+        if isinstance(t, dict):
+            for k, v in t.items():
+                walk(v, f"{pre}/{k}")
+        else:
+            flat[pre] = np.asarray(t).astype(np.float16)
+
+    walk(_to_numpy(params), "params")
+    walk(_to_numpy(batch_stats), "batch_stats")
+    import io
+
+    buf = io.BytesIO()
+    np.savez_compressed(buf, **flat)
+    _atomic_write(buf.getvalue(), path)
+    return path
+
+
 def load_params(path: str | Path) -> dict:
-    """Load a weights-only export; returns {'params', 'batch_stats'}."""
+    """Load a weights-only export (pickle or .npz bundle);
+    returns {'params', 'batch_stats'}."""
+    path = Path(path)
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if magic == b"PK":  # zip container = np.savez bundle (suffix-agnostic)
+        out: dict = {}
+        with np.load(path) as z:
+            for key in z.files:
+                parts = key.split("/")
+                node = out
+                for p in parts[:-1]:
+                    node = node.setdefault(p, {})
+                node[parts[-1]] = z[key].astype(np.float32)
+        return out
     with open(path, "rb") as f:
         return pickle.load(f)

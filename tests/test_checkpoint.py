@@ -61,3 +61,22 @@ def test_params_only_export(tmp_path):
     blob = load_params(path)
     np.testing.assert_allclose(blob["params"]["w"], np.arange(6.0).reshape(2, 3))
     assert "batch_stats" in blob
+
+
+def test_npz_bundle_roundtrip(tmp_path):
+    """save_params_npz writes a compressed f16 zip bundle; load_params
+    detects the container by magic bytes (not suffix) and rebuilds the
+    nested {'params','batch_stats'} tree in float32."""
+    from ssdx.train.checkpoint import save_params_npz
+
+    state, _ = _tiny_state()
+    path = save_params_npz(state.params, state.batch_stats, tmp_path / "demo.npz")
+    blob = load_params(path)
+    np.testing.assert_allclose(
+        blob["params"]["w"], np.arange(6.0).reshape(2, 3), atol=1e-2
+    )
+    assert blob["params"]["w"].dtype == np.float32
+    assert "batch_stats" in blob
+    # pickle exports keep loading regardless of their file name
+    p2 = save_params(state.params, state.batch_stats, tmp_path / "also.npz")
+    assert "params" in load_params(p2)

@@ -132,3 +132,62 @@ def test_docker_context_buildable():
     script = Path(__file__).parent.parent / "scripts" / "check_docker_context.py"
     proc = subprocess.run([sys.executable, str(script)], capture_output=True, text=True)
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_untrained_weights_banner(tmp_path_factory):
+    """With weights_loaded=False the server must show the honest-demo banner
+    on every HTML page; a trained detector (the stub's default) must not."""
+    static = tmp_path_factory.mktemp("static_banner")
+    det = StubDetector()
+    det.weights_loaded = False
+    server = create_server(det, host="127.0.0.1", port=0, static_dir=static)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        for path in ("/", "/model-card", "/examples"):
+            r = httpx.get(base + path)
+            assert "Untrained demo weights" in r.text, path
+    finally:
+        server.shutdown()
+
+
+def test_no_banner_when_weights_loaded(server_url):
+    r = httpx.get(server_url + "/")
+    assert "Untrained demo weights" not in r.text
+
+
+def test_bundled_demo_weights_banner(tmp_path_factory):
+    """A detector flagged as running the bundled demo weights gets the amber
+    'Bundled demo weights' banner (distinct from the red untrained one)."""
+    static = tmp_path_factory.mktemp("static_demo_banner")
+    det = StubDetector()
+    det.weights_loaded = True
+    det.demo_weights = True
+    server = create_server(det, host="127.0.0.1", port=0, static_dir=static)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        r = httpx.get(f"http://127.0.0.1:{port}/")
+        assert "Bundled demo weights" in r.text
+        assert "Untrained demo weights" not in r.text
+    finally:
+        server.shutdown()
+
+
+def test_create_detector_bundled_fallback(monkeypatch, tmp_path):
+    """With no saved_models/best.weights, create_detector serves the bundled
+    demo_weights.npz (trained on the procedural scene distribution) rather
+    than random init."""
+    from pathlib import Path
+
+    import ssdx.serve.app as app_mod
+
+    bundled = Path(app_mod.__file__).parent / "demo_weights.npz"
+    if not bundled.exists():
+        pytest.skip("demo bundle not built (scripts/make_demo_weights.py)")
+    monkeypatch.setattr(app_mod, "DEFAULT_WEIGHTS", str(tmp_path / "missing.weights"))
+    det = app_mod.create_detector()
+    assert det.weights_loaded and det.demo_weights
