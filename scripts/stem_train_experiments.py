@@ -46,7 +46,10 @@ def slope_fit(fn, args, ns=(2, 4, 8)):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("variant", choices=["c11", "c11_im2col", "c12", "bn", "pool", "stem"])
+    ap.add_argument("variant", choices=["c11", "c11_im2col", "c12", "c12f",
+                                        "c12dx", "c12dw", "bn", "pool",
+                                        "bnpool", "brp", "brp_nosplit",
+                                        "stem", "stem_fused"])
     ap.add_argument("--bs", type=int, default=16)
     args = ap.parse_args()
     B = args.bs
@@ -62,9 +65,10 @@ def main():
                                         ("NHWC", "HWIO", "NHWC"))
 
     def conv(x, w):
+        # bf16 in/out like the flax model path; preferred_element_type=f32
+        # would make the transpose rules see mismatched operand dtypes.
         return jax.lax.conv_general_dilated(
-            x, w.astype(dt), (1, 1), "SAME", dimension_numbers=dn,
-            preferred_element_type=jnp.float32)
+            x, w.astype(dt), (1, 1), "SAME", dimension_numbers=dn)
 
     if args.variant == "c11":
         def fn(c, x, w):
@@ -105,6 +109,62 @@ def main():
             return v * 1e-12 + jnp.sum(g[1]) * 1e-12 + jnp.sum(g[0].astype(jnp.float32)) * 1e-12
         fn = jax.jit(fn)
         ms, fixed = slope_fit(fn, (x64, w12))
+
+    elif args.variant in ("c12f", "c12dx", "c12dw"):
+        # conv1_2 cost split: forward only / forward+dx / forward+dW
+        def fn(c, x, w):
+            xx = x + (c * 1e-30).astype(x.dtype)
+            if args.variant == "c12f":
+                return jnp.sum(conv(xx, w).astype(jnp.float32)) * 1e-12
+            if args.variant == "c12dx":
+                v, g = jax.value_and_grad(
+                    lambda xi: jnp.sum(conv(xi, w).astype(jnp.float32)))(xx)
+                return v * 1e-12 + jnp.sum(g.astype(jnp.float32)) * 1e-12
+            v, g = jax.value_and_grad(
+                lambda wp: jnp.sum(conv(xx, wp).astype(jnp.float32)))(w)
+            return v * 1e-12 + jnp.sum(g) * 1e-12
+        fn = jax.jit(fn)
+        ms, fixed = slope_fit(fn, (x64, w12))
+
+    elif args.variant in ("bnpool", "brp", "brp_nosplit"):
+        # The BN+ReLU+pool stem tail, fwd+bwd: XLA autodiff of the unfused
+        # composition vs the fused recompute-VJP op (ssdx/ops/fused_bn_pool).
+        from flax import linen as nn
+        from ssdx.model import _max_pool
+        from ssdx.ops.fused_bn_pool import bn_relu_pool
+
+        gamma = jnp.asarray(rng.normal(1, 0.2, 64).astype(np.float32))
+        beta = jnp.asarray(rng.normal(0, 0.2, 64).astype(np.float32))
+
+        if args.variant == "bnpool":
+            mod = nn.BatchNorm(use_running_average=False, momentum=0.9,
+                               epsilon=1e-5, dtype=dt, param_dtype=jnp.float32)
+            vs = mod.init(jax.random.key(0), x64)
+            def tail(x, g, b):
+                y, mut = mod.apply(
+                    {"params": {"scale": g, "bias": b},
+                     "batch_stats": vs["batch_stats"]},
+                    x, mutable=["batch_stats"])
+                p = _max_pool(nn.relu(y))
+                bs = mut["batch_stats"]
+                return p, bs["mean"], bs["var"]
+        else:
+            split = args.variant == "brp"
+            def tail(x, g, b):
+                return bn_relu_pool(x, g, b, 1e-5, False, split)
+
+        def fn(c, x, g, b):
+            xx = x + (c * 1e-30).astype(x.dtype)
+            def f(args_):
+                xi, gg, bb = args_
+                p, mean, var = tail(xi, gg, bb)
+                return (jnp.sum(p.astype(jnp.float32))
+                        + jnp.sum(mean) * 1e-3 + jnp.sum(var) * 1e-3)
+            v, gr = jax.value_and_grad(f)((xx, g, b))
+            acc = sum(t.astype(jnp.float32).sum() for t in jax.tree.leaves(gr))
+            return v * 1e-12 + acc * 1e-12
+        fn = jax.jit(fn)
+        ms, fixed = slope_fit(fn, (x64, gamma, beta))
 
     elif args.variant == "bn":
         from flax import linen as nn
@@ -160,6 +220,37 @@ def main():
             return v * 1e-12 + acc * 1e-12
         fn = jax.jit(fn)
         ms, fixed = slope_fit(fn, (x3, v1["params"], v2["params"]))
+
+    if args.variant == "stem_fused":
+        # Full stem fwd+bwd with the fused BN+ReLU+pool tail (compare: "stem").
+        from flax import linen as nn
+
+        from ssdx.model import ConvBNRelu
+        from ssdx.ops.fused_bn_pool import bn_relu_pool
+
+        m1 = ConvBNRelu(64, dtype=dt)
+        v1 = m1.init(jax.random.key(0), x3, train=False)
+        conv2 = nn.Conv(64, (3, 3), padding="SAME", dtype=dt,
+                        param_dtype=jnp.float32)
+        v2 = conv2.init(jax.random.key(1), x64)
+        gamma = jnp.asarray(rng.normal(1, 0.2, 64).astype(np.float32))
+        beta = jnp.asarray(rng.normal(0, 0.2, 64).astype(np.float32))
+
+        def fn(c, x, p1, p2, g, b):
+            xx = x + (c * 1e-30).astype(x.dtype)
+            def f(ps):
+                pa, pb, gg, bb = ps
+                y, _ = m1.apply({"params": pa, "batch_stats": v1["batch_stats"]},
+                                xx, train=True, mutable=["batch_stats"])
+                y = conv2.apply({"params": pb}, y)
+                pl_, mean, var = bn_relu_pool(y, gg, bb, 1e-5, False, True)
+                return (jnp.sum(pl_.astype(jnp.float32))
+                        + jnp.sum(mean) * 1e-3 + jnp.sum(var) * 1e-3)
+            v, gr = jax.value_and_grad(f)((p1, p2, g, b))
+            acc = sum(t.astype(jnp.float32).sum() for t in jax.tree.leaves(gr))
+            return v * 1e-12 + acc * 1e-12
+        fn = jax.jit(fn)
+        ms, fixed = slope_fit(fn, (x3, v1["params"], v2["params"], gamma, beta))
 
     print(f"stem_train[{args.variant}]: {ms:7.3f} ms/iter (fixed {fixed:.1f} ms) bs={B}")
 
