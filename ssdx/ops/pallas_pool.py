@@ -1,5 +1,15 @@
 """2x2/2 max pool with an XLA pair-packed forward and a Pallas backward.
 
+STATUS — measured, NOT wired into the model path.  Standalone the Pallas
+backward wins (1.09 vs 1.73 ms/iter for XLA pool fwd+bwd, bs=16 bf16),
+but inside the full BN+ReLU+pool tail it LOSES (7.7 vs 5.6 ms/iter,
+interleaved same-process TPU A/B): the custom_vjp boundary stops XLA
+from fusing the BatchNorm backward with the pool routing, and the
+packed-view reshape relayouts x/dy at the kernel boundary.  See
+ssdx/ops/fused_bn_pool.py for the follow-up that fused the BN backward
+into the kernels too (parity, not a win).  Kept as a tested standalone
+op; prefer flax ``nn.max_pool`` in composed training graphs.
+
 The reference's stem runs torch ``MaxPool2d`` (SSD_from_scratch.py:56-60);
 on TPU the XLA equivalents are the measured train-step hotspot at bs=16
 (scripts/stem_train_experiments.py, [16,300,300,64] bf16):
