@@ -49,6 +49,9 @@ class TrainConfig:
     epoch_save_interval: int | None = None
     save_dir: str = "checkpoints"
     bfloat16: bool = True  # TPU-native compute dtype
+    # train-mode Pallas stem (ssdx/ops/pallas_stem_train.py): None = auto
+    # (on for single-device TPU full-width runs), True/False = force
+    fused_stem: bool | None = None
     seed: int = 724
     # 1.0 = the reference SSD300; < 1 thins every channel count (fast
     # tests/experiments — see ssdx.model.SSD300.width_mult)

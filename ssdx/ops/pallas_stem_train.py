@@ -530,10 +530,13 @@ def _bcast(v):
 _SEM = pltpu.CompilerParams(dimension_semantics=("arbitrary", "arbitrary"))
 
 
-def _fwd_impl(patches, W1, W2, b2, g1, be1, g2, be2, eps, interpret, dtype):
+def _fwd_impl(patches, W1, W2, b2, g1, be1, g2, be2, eps, interpret, dtype,
+              axis_name=None):
     B = patches.shape[0]
     f32 = jnp.float32
     n = B * _H * _H
+    if axis_name is not None:
+        n = n * jax.lax.psum(1, axis_name)
     m1, m2 = _masks()
     grid, main, pre, post = _grid_specs(B, dtype)
 
@@ -551,6 +554,9 @@ def _fwd_impl(patches, W1, W2, b2, g1, be1, g2, be2, eps, interpret, dtype):
     )(patches, W1, m1)
     s = _fold(part1[0])
     q = _fold(part1[4])
+    if axis_name is not None:
+        s = jax.lax.psum(s, axis_name)
+        q = jax.lax.psum(q, axis_name)
     mean1 = s / n
     var1 = jnp.maximum(q / n - jnp.square(mean1), 0.0)
     inv1 = jax.lax.rsqrt(var1 + eps)
@@ -574,6 +580,9 @@ def _fwd_impl(patches, W1, W2, b2, g1, be1, g2, be2, eps, interpret, dtype):
     )(y1, y1, y1, W2, vecB, m1, m2)
     s = _fold(part2[0])
     q = _fold(part2[4])
+    if axis_name is not None:
+        s = jax.lax.psum(s, axis_name)
+        q = jax.lax.psum(q, axis_name)
     mean2 = s / n
     var2 = jnp.maximum(q / n - jnp.square(mean2), 0.0)
     inv2 = jax.lax.rsqrt(var2 + eps)
@@ -596,10 +605,12 @@ def _fwd_impl(patches, W1, W2, b2, g1, be1, g2, be2, eps, interpret, dtype):
 
 
 def _bwd_impl(patches, y1, y2, W2T, stats, g1, be1, g2, be2, dp, eps,
-              interpret, dtype):
+              interpret, dtype, axis_name=None):
     B = patches.shape[0]
     f32 = jnp.float32
     n = B * _H * _H
+    if axis_name is not None:
+        n = n * jax.lax.psum(1, axis_name)
     mean1, var1, mean2, var2, inv1, inv2 = stats
     m1, m2 = _masks()
     grid, main, pre, post = _grid_specs(B, dtype)
@@ -620,15 +631,22 @@ def _bwd_impl(patches, y1, y2, W2T, stats, g1, be1, g2, be2, dp, eps,
                    jax.ShapeDtypeStruct((8, 128), f32)],
         compiler_params=_SEM, interpret=interpret,
     )(y2, dp, vecD, m2)
-    s1_2 = _fold(partD[0])   # dbeta2 (per channel)
+    s1_2 = _fold(partD[0])   # dbeta2 (per channel, LOCAL shard sum)
     s2_2 = _fold(partD[4])   # dgamma2
+    s1_2g, s2_2g = s1_2, s2_2
+    if axis_name is not None:
+        # dx needs the GLOBAL sums; the returned dgamma/dbeta stay local
+        # because the shard_map transpose of the replicated-in params
+        # psums them on the way out
+        s1_2g = jax.lax.psum(s1_2, axis_name)
+        s2_2g = jax.lax.psum(s2_2, axis_name)
 
     # ---- E: conv1_2^T + dW2 + BN1 partials
     a1v = _bcast(g1 * inv1)
     b1v = _bcast(be1 - mean1 * g1 * inv1)
     vecE = jnp.stack([
         _bcast(g2 * inv2), _bcast(mean2), _bcast(inv2),
-        _bcast(s1_2 / n), _bcast(s2_2 / n),
+        _bcast(s1_2g / n), _bcast(s2_2g / n),
         a1v, b1v, _bcast(mean1), _bcast(inv1),
         z, z, z, z, z, z, z])  # 16 rows
     R_E = 20  # smaller block: K_E is the VMEM-heaviest kernel (9 views,
@@ -652,8 +670,12 @@ def _bwd_impl(patches, y1, y2, W2T, stats, g1, be1, g2, be2, dp, eps,
         scratch_shapes=[pltpu.VMEM(((R_E + 2) * _PP, 128), dtype)] * 2,
         compiler_params=_SEM, interpret=interpret,
     )(dt2, dt2, dt2, y2, y2, y2, y1, y1, y1, W2T, vecE, m1, m2)
-    s1_1 = _fold(partE[0])   # dbeta1
+    s1_1 = _fold(partE[0])   # dbeta1 (LOCAL shard sum)
     s2_1 = _fold(partE[4])   # dgamma1
+    s1_1g, s2_1g = s1_1, s2_1
+    if axis_name is not None:
+        s1_1g = jax.lax.psum(s1_1, axis_name)
+        s2_1g = jax.lax.psum(s2_1, axis_name)
     dw2 = _unpack_dw2(dW2p)
     # db2 = sum(dy2) = 0 exactly: train-mode BN subtracts the batch mean,
     # so the conv bias has no effect on the output (sum dy2 telescopes to
@@ -663,7 +685,7 @@ def _bwd_impl(patches, y1, y2, W2T, stats, g1, be1, g2, be2, dp, eps,
     # ---- F: dW1 (BN1 backward elementwise + patches contraction)
     vecF = jnp.stack([
         _bcast(g1 * inv1), _bcast(mean1), _bcast(inv1),
-        _bcast(s1_1 / n), _bcast(s2_1 / n), z, z, z])
+        _bcast(s1_1g / n), _bcast(s2_1g / n), z, z, z])
     pspec = pl.BlockSpec((1, _M, _K), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM)
     dW1p = pl.pallas_call(
@@ -692,10 +714,10 @@ def _resolve_interpret(interpret):
     return interpret
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
 def stem_train(x, w1, b1, g1, be1, w2, b2, g2, be2,
                eps: float = 1e-5, interpret: bool | None = None,
-               dtype=jnp.bfloat16):
+               dtype=jnp.bfloat16, axis_name: str | None = None):
     """Fused train-mode stem.
 
     Args: x [B,300,300,3] images (NO gradient — returns zeros for dx),
@@ -705,12 +727,12 @@ def stem_train(x, w1, b1, g1, be1, w2, b2, g2, be2,
     the caller's running-average update.
     """
     out, _ = _stem_fwd(x, w1, b1, g1, be1, w2, b2, g2, be2, eps, interpret,
-                       dtype)
+                       dtype, axis_name)
     return out
 
 
 def _stem_fwd(x, w1, b1, g1, be1, w2, b2, g2, be2, eps, interpret,
-              dtype=jnp.bfloat16):
+              dtype=jnp.bfloat16, axis_name=None):
     interpret = _resolve_interpret(interpret)
     patches = _build_patches(x.astype(dtype))
     W1 = _pack_w1(w1, b1, dtype)
@@ -718,14 +740,14 @@ def _stem_fwd(x, w1, b1, g1, be1, w2, b2, g2, be2, eps, interpret,
     p, stats, y1, y2 = _fwd_impl(
         patches, W1, W2, b2, g1.astype(jnp.float32), be1.astype(jnp.float32),
         g2.astype(jnp.float32), be2.astype(jnp.float32), eps, interpret,
-        dtype)
+        dtype, axis_name)
     mean1, var1, mean2, var2, inv1, inv2 = stats
     out = (p, mean1, var1, mean2, var2)
     res = (x, patches, y1, y2, stats, w2, g1, be1, g2, be2)
     return out, res
 
 
-def _stem_bwd(eps, interpret, dtype, res, cts):
+def _stem_bwd(eps, interpret, dtype, axis_name, res, cts):
     interpret = _resolve_interpret(interpret)
     x, patches, y1, y2, stats, w2, g1, be1, g2, be2 = res
     dp, dm1, dv1, dm2, dv2 = cts
@@ -734,7 +756,7 @@ def _stem_bwd(eps, interpret, dtype, res, cts):
         patches, y1, y2, W2T, stats,
         g1.astype(jnp.float32), be1.astype(jnp.float32),
         g2.astype(jnp.float32), be2.astype(jnp.float32),
-        dp, eps, interpret, dtype)
+        dp, eps, interpret, dtype, axis_name)
     # mean/var cotangents: the train step's running-stat update is
     # stop-gradiented (flax convention), so dm*/dv* are zero there; the
     # contribution is dropped (asserted zero-cotangent use only).

@@ -114,6 +114,7 @@ def run(cfg: Config, epochs: int | None = None, resume: bool = True, log=print):
     train_step = make_train_step(
         model, tx, priors, priors_xyxy,
         iou_thresh=t.iou_thresh, neg_pos_ratio=t.neg_pos_ratio, mesh=mesh,
+        fused_stem=getattr(t, "fused_stem", None),
     )
     eval_step = make_eval_step(
         model, priors, priors_xyxy,

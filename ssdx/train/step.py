@@ -29,6 +29,17 @@ from ..predict import Detections, postprocess
 
 __all__ = ["Batch", "TrainState", "create_train_state", "make_train_step", "make_eval_step"]
 
+_BN_MOMENTUM = 0.9  # flax running-stat update: ra*m + batch*(1-m)
+
+
+def _fused_stem_supported(model) -> bool:
+    """The train-mode Pallas stem is specialized to the full-width 300x300
+    stem (64-channel convs); reduced-width test models and pre-folded or
+    stem-input variants use the XLA path."""
+    return (getattr(model, "width_mult", 1.0) == 1.0
+            and not getattr(model, "fold_bn", False)
+            and not getattr(model, "stem_input", False))
+
 
 class Batch(NamedTuple):
     """Fixed-shape training batch (padded GT; see ssdx/data/pipeline.py).
@@ -83,17 +94,79 @@ def make_train_step(
     iou_thresh: float = 0.5,
     neg_pos_ratio: float = 3.0,
     mesh=None,
+    fused_stem: bool | None = None,
 ):
-    """Build the jitted ``(state, batch) -> (state, metrics)`` train step."""
+    """Build the jitted ``(state, batch) -> (state, metrics)`` train step.
+
+    ``fused_stem`` routes the first VGG block through the train-mode Pallas
+    stem (ssdx/ops/pallas_stem_train.py — measured 5.9 vs 13.5 ms fwd+bwd
+    at bs=16 bf16; full step 455 -> 547 img/s).  Default (None): on for
+    TPU runs of the full-width model, off on CPU.  Under a mesh the op is
+    shard_mapped over the ``data`` axis with its batch statistics psum'd,
+    preserving the XLA path's global-batch (sync) BatchNorm semantics.
+    """
+    if fused_stem is None:
+        fused_stem = (jax.default_backend() in ("tpu", "axon")
+                      and _fused_stem_supported(model))
+    if fused_stem and not _fused_stem_supported(model):
+        raise ValueError("fused_stem requires the full-width SSD300 "
+                         "(width_mult=1, no fold_bn/stem_input)")
+    if fused_stem:
+        from ..ops.pallas_stem_train import (stem_train,
+                                             stem_train_reference_params)
+
+        model_stem = model.clone(stem_input=True)
+        if mesh is None:
+            def stem_fn(images, sp):
+                return stem_train(images, *sp, 1e-5, None, model.dtype)
+        else:
+            from jax.sharding import PartitionSpec as PS
+
+            from ..mesh import DATA_AXIS
+
+            def stem_fn(images, sp):
+                return jax.shard_map(
+                    lambda img, *a: stem_train(
+                        img, *a, 1e-5, None, model.dtype, DATA_AXIS),
+                    mesh=mesh,
+                    in_specs=(PS(DATA_AXIS),) + (PS(),) * 8,
+                    out_specs=(PS(DATA_AXIS), PS(), PS(), PS(), PS()),
+                    # pallas_call out_shapes carry no vma annotations
+                    check_vma=False,
+                )(images, *sp)
 
     def train_step(state: TrainState, batch: Batch):
         def loss_fn(params):
-            (loc, cls), mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch.images,
-                train=True,
-                mutable=["batch_stats"],
-            )
+            if fused_stem:
+                sp = stem_train_reference_params(params)
+                p, m1, v1, m2, v2 = stem_fn(batch.images, sp)
+                (loc, cls), mutated = model_stem.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    p,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                # running-stat updates for the two stem BNs the fused op
+                # replaced (same formula flax applies in-module)
+                bs = dict(mutated["batch_stats"])
+                for name, bm, bv in (("ConvBNRelu_0", m1, v1),
+                                     ("ConvBNRelu_1", m2, v2)):
+                    old = bs[name]["BatchNorm_0"]
+                    bs[name] = dict(bs[name])
+                    bs[name]["BatchNorm_0"] = {
+                        "mean": _BN_MOMENTUM * old["mean"]
+                        + (1 - _BN_MOMENTUM) * bm,
+                        "var": _BN_MOMENTUM * old["var"]
+                        + (1 - _BN_MOMENTUM) * bv,
+                    }
+                mutated = {"batch_stats": bs}
+            else:
+                (loc, cls), mutated = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    batch.images,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
             tg = build_targets(
                 batch.gt_boxes,
                 batch.gt_labels,
