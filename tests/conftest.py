@@ -14,6 +14,15 @@ if "xla_force_host_platform_device_count" not in flags:
 # round-trip on this host (the loader warns about SIGILL risk).
 if "xla_cpu_max_isa" not in flags:
     flags += " --xla_cpu_max_isa=AVX2"
+# 8 virtual devices time-slice the host's cores (possibly ONE core); a slow
+# shard can hold a collective rendezvous far past the default terminate
+# timeout, which SIGABRTs the process ("Termination timeout for ... exceeded.
+# Exiting to ensure a consistent program state").  Give the rendezvous the
+# same order of patience as a cold XLA:CPU compile.
+if "collective" not in flags:
+    flags += (" --xla_cpu_collective_timeout_seconds=1200"
+              " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
 os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
