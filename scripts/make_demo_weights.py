@@ -3,8 +3,8 @@
 
 The reference app is a working detector out of the box (trained weights,
 ssd_demo_app.py:32-36).  Without the Udacity data, the closest honest
-equivalent: train the 5-class SSD300 on procedural street scenes from
-ssdx.data.synth.draw_scene — the SAME generator behind the bundled example
+equivalent: train the 5-class SSD300 on SynthDrive scenes from
+ssdx.data.synth.render_scene — the SAME renderer behind the bundled example
 images — until val mAP clears a threshold, then export a weights-only
 artifact to saved_models/best.weights.  The app then produces meaningful
 boxes on its own /examples gallery (and its model-card banner disappears).
@@ -22,24 +22,15 @@ import tempfile
 from pathlib import Path
 
 import numpy as np
-import pandas as pd
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 
 def make_dataset(root: Path, n: int, size: int = 512) -> None:
-    from ssdx.data.synth import draw_scene
+    from ssdx.data.synth import generate_dataset
 
-    rows = []
-    for i in range(n):
-        img, boxes, labels = draw_scene(seed=1000 + i, size=size)
-        name = f"scene_{i:03d}.jpg"
-        img.save(root / name, quality=90)
-        for b, c in zip(boxes, labels):
-            rows.append(dict(filename=name, width=size, height=size,
-                             **{"class": c}, xmin=float(b[0]), ymin=float(b[1]),
-                             xmax=float(b[2]), ymax=float(b[3])))
-    pd.DataFrame(rows).to_csv(root / "ann.csv", index=False)
+    # no empty frames: every scene contributes positives for the quick overfit
+    generate_dataset(root, n, seed=1000, size=size, empty_frac=0.0)
 
 
 def main() -> None:
