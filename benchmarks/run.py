@@ -118,7 +118,7 @@ def bench_single() -> dict:
 
 def bench_batched(batch_size: int = 32, fold_bn: bool = True,
                   stem_kernel: bool | None = None,
-                  use_mesh: bool = False) -> dict:
+                  use_mesh: bool = False, int8: bool = False) -> dict:
     """Config 2: batched inference + decode + per-class NMS.
 
     Runs the serving configuration: BatchNorm folded into conv weights and
@@ -130,6 +130,13 @@ def bench_batched(batch_size: int = 32, fold_bn: bool = True,
     Detector(mesh=...) path); ``batch_size`` becomes the GLOBAL batch
     (per-device share = batch_size / n_devices) and the report carries both
     aggregate and per-device throughput.
+
+    ``int8``: quantize the post-stem backbone to int8 (ssdx/quant.py — the
+    Detector.quantize_int8 serving mode; stem + heads stay bf16).  NOTE:
+    on the current TPU toolchain int8 GEMMs do not lower to the MXU and
+    this config measures ~40x SLOWER than bf16 (see ssdx/quant.py
+    docstring for the microbenchmarks); the flag exists to keep that
+    measurement reproducible.
     """
     import jax
     import jax.numpy as jnp
@@ -152,10 +159,36 @@ def bench_batched(batch_size: int = 32, fold_bn: bool = True,
         model = SSD300(num_classes=6, dtype=jnp.bfloat16, fold_bn=True,
                        stem_input=True)
 
+    qp = None
+    if int8:
+        if not fold_bn:
+            raise ValueError("--int8 requires the folded-BN serving config")
+        from ssdx import quant
+
+        calib = jnp.asarray(np.random.default_rng(0).normal(
+            0, 1, (8, 300, 300, 3)).astype(np.float32))
+        if stem_kernel:
+            feats = stem_conv_pool(calib.astype(jnp.bfloat16),
+                                   variables["params"])
+        else:
+            feats = quant.stem_bf16(variables["params"], calib)
+        scales = quant.calibrate_act_scales(variables["params"], feats)
+        qp = quant.quantize_ssd(variables["params"], scales, 6)
+
     def fwd(variables, images):
         if stem_kernel:
-            images = stem_conv_pool(images.astype(jnp.bfloat16),
-                                    variables["params"])
+            feats = stem_conv_pool(images.astype(jnp.bfloat16),
+                                   variables["params"])
+        elif qp is not None:
+            from ssdx import quant as q
+
+            feats = q.stem_bf16(variables["params"], images)
+        if qp is not None:
+            from ssdx import quant as q
+
+            return q.apply_int8(qp, feats, jnp.bfloat16)
+        if stem_kernel:
+            return model.apply(variables, feats, train=False)
         loc, conf = model.apply(variables, images, train=False)
         return loc, conf
 
@@ -193,7 +226,8 @@ def bench_batched(batch_size: int = 32, fold_bn: bool = True,
         return jnp.sum(det.scores, dtype=jnp.float32)
 
     dt = _timeit(one)
-    out = {"metric": f"ssd300_batched_inference_bs{batch_size}",
+    out = {"metric": f"ssd300_batched_inference_bs{batch_size}"
+           + ("_int8" if int8 else ""),
            "value": round(batch_size / dt, 2), "unit": "images/sec"}
     if use_mesh:
         out["metric"] += f"_mesh{n_dev}"
@@ -297,6 +331,8 @@ def main(argv=None) -> None:
     ap.add_argument("--data-dir", help="required for e2e")
     ap.add_argument("--mesh", action="store_true",
                     help="batched config: shard over all attached devices")
+    ap.add_argument("--int8", action="store_true",
+                    help="batched: int8-quantized backbone (ssdx/quant.py)")
     ap.add_argument("--batch-size", type=int, default=32,
                     help="batched config: global batch size")
     args = ap.parse_args(argv)
@@ -306,7 +342,7 @@ def main(argv=None) -> None:
         runs.append(bench_single)
     if args.which in ("batched", "all"):
         runs.append(lambda: bench_batched(batch_size=args.batch_size,
-                                          use_mesh=args.mesh))
+                                          use_mesh=args.mesh, int8=args.int8))
     if args.which in ("augment", "all"):
         runs.append(bench_augment)
     if args.which in ("train", "all"):

@@ -85,28 +85,34 @@ class Detector:
             def _fwd(variables, images):
                 return self.model.apply(variables, images, train=False)
 
-        # Data-parallel inference: with a mesh the forward runs under
-        # shard_map over the ``data`` axis (each device computes its batch
-        # shard independently — SSD inference has no cross-device
-        # communication, so this also lets the Pallas stem kernel run
-        # per-shard without GSPMD having to partition a custom call).
-        # Postprocess then runs on the sharded logits; every op in it is
-        # batch-elementwise, so GSPMD keeps the batch axis sharded for free.
         self.mesh = mesh
-        if mesh is not None:
+        self._install_forward(_fwd)
+
+    def _install_forward(self, _fwd) -> None:
+        """Jit (and, with a mesh, shard_map) the raw forward.
+
+        Data-parallel inference: with a mesh the forward runs under
+        shard_map over the ``data`` axis (each device computes its batch
+        shard independently — SSD inference has no cross-device
+        communication, so this also lets the Pallas stem kernel run
+        per-shard without GSPMD having to partition a custom call).
+        Postprocess then runs on the sharded logits; every op in it is
+        batch-elementwise, so GSPMD keeps the batch axis sharded for free.
+        """
+        if self.mesh is not None:
             from jax.sharding import PartitionSpec as PS
 
             from .mesh import DATA_AXIS, replicated
 
             sharded = jax.shard_map(
                 _fwd,
-                mesh=mesh,
+                mesh=self.mesh,
                 in_specs=(PS(), PS(DATA_AXIS)),
                 out_specs=PS(DATA_AXIS),
                 check_vma=False,
             )
             self._forward = jax.jit(sharded)
-            self.variables = jax.device_put(self.variables, replicated(mesh))
+            self.variables = jax.device_put(self.variables, replicated(self.mesh))
         else:
             self._forward = jax.jit(_fwd)
 
@@ -136,6 +142,59 @@ class Detector:
 
             variables = fold_batchnorm(variables)
         self.variables = variables
+
+    # ---- int8 quantized serving (ssdx/quant.py) ----
+
+    def quantize_int8(self, calib_images, calib_batch: int = 16) -> dict:
+        """Switch this detector's forward to the int8-quantized backbone
+        (symmetric int8, per-output-channel weight scales, per-input-channel
+        activation scales folded into the weights — see ssdx/quant.py).  The
+        stem stays bf16 (Pallas kernel on TPU), the multibox heads stay bf16.
+
+        ``calib_images``: representative normalized images [N,300,300,3]
+        (N >= 1) used to calibrate activation scales; processed in chunks of
+        ``calib_batch``.  Returns the calibrated per-layer amax[cin] dict.
+
+        The reference has no quantized serving mode; this is the TPU-native
+        production-serving extension (int8 MXU rate is 2x bf16 on v5e).
+        """
+        import numpy as np
+
+        from . import quant
+
+        if not self.model.fold_bn:
+            raise ValueError("int8 quantization requires fold_bn=True")
+        dtype = self.model.dtype
+        params = self.variables["params"]
+
+        if self.stem_kernel:
+            from .ops.pallas_stem import stem_conv_pool
+
+            def stem(variables, images):
+                return stem_conv_pool(
+                    images, variables["params"], compute_dtype=dtype
+                )
+
+        else:
+
+            def stem(variables, images):
+                return quant.stem_bf16(variables["params"], images, dtype)
+
+        stem_j = jax.jit(stem)
+        calib_images = np.asarray(calib_images)
+        scales: dict[str, np.ndarray] = {}
+        for i in range(0, calib_images.shape[0], calib_batch):
+            feats = stem_j(self.variables, jnp.asarray(calib_images[i : i + calib_batch]))
+            for k, v in quant.calibrate_act_scales(params, feats, dtype).items():
+                scales[k] = np.maximum(scales[k], v) if k in scales else v
+        self.quant_params = quant.quantize_ssd(params, scales, self.num_classes)
+        qp = self.quant_params
+
+        def _fwd(variables, images):
+            return quant.apply_int8(qp, stem(variables, images), dtype)
+
+        self._install_forward(_fwd)
+        return scales
 
     # ---- inference ----
 

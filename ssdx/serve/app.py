@@ -125,7 +125,15 @@ def create_detector(weights_path: str | os.PathLike | None = None):
     faster end-to-end) and the network runs in bfloat16 — the configuration
     bench.py/benchmarks measure and the one the stem kernel's tile layout
     was tuned for.  On CPU the kernel would run in slow interpret mode and
-    bf16 is emulated, so the plain XLA float32 path is used."""
+    bf16 is emulated, so the plain XLA float32 path is used.
+
+    ``SSDX_INT8=1`` additionally quantizes the post-stem backbone to int8
+    (ssdx/quant.py), calibrated on the bundled example scenes; prefer
+    calibrating on production traffic via ``Detector.quantize_int8`` and
+    passing the detector in explicitly.  Opt-in only: on v5e silicon int8
+    doubles the MXU rate, but the current toolchain lowers int8 convs to
+    the VPU and measures ~40x slower than bf16 — see the ssdx/quant.py
+    docstring before enabling."""
     import jax
     import jax.numpy as jnp
 
@@ -157,6 +165,17 @@ def create_detector(weights_path: str | os.PathLike | None = None):
         # draw noise boxes and must never masquerade as a working detector
         det.weights_loaded = False
         det.demo_weights = False
+    if os.environ.get("SSDX_INT8") == "1" and det.model.fold_bn:
+        import numpy as np
+        from PIL import Image
+
+        static = Path(__file__).parent / "static"
+        calib = np.concatenate([
+            det.preprocess_pil(Image.open(p))
+            for p in sorted(static.glob("example_*.jpg"))
+        ])
+        det.quantize_int8(calib)
+        det.int8 = True
     return det
 
 
