@@ -99,11 +99,29 @@ def main() -> None:
     # ---- held-out test evaluation (best + last) ----
     from ssdx.eval.run import evaluate_weights
 
+    def _js(o):  # results curves hold ndarrays / jax scalars
+        import numpy as np
+
+        if isinstance(o, np.ndarray):
+            return o.tolist()
+        return float(o)
+
     final = {"train_wall_s": round(train_wall, 1),
              "epochs": args.epochs,
              "val_curves": {k: results[k] for k in
                             ("train_loss", "test_loss", "mAP", "epochs")
                             if k in results}}
+    # the loop checkpoints 'best' but only exports 'last' weights
+    # (ssdx/train/run.py); materialize best.weights from best.ckpt
+    best_w = wd / "ckpt" / "best.weights"
+    if not best_w.exists() and (wd / "ckpt" / "best.ckpt").exists():
+        import pickle
+
+        from ssdx.train.checkpoint import save_params
+
+        with open(wd / "ckpt" / "best.ckpt", "rb") as f:
+            ck = pickle.load(f)
+        save_params(ck["params"], ck["batch_stats"], best_w)
     for tag in ("best", "last"):
         wpath = wd / "ckpt" / f"{tag}.weights"
         if not wpath.exists():
@@ -143,9 +161,9 @@ def main() -> None:
     except Exception as e:
         print(f"panel rendering failed: {e}")
 
-    (wd / "results.json").write_text(json.dumps(final, indent=2))
+    (wd / "results.json").write_text(json.dumps(final, indent=2, default=_js))
     print(json.dumps({k: v for k, v in final.items()
-                      if k.startswith("test_")}, indent=2))
+                      if k.startswith("test_")}, indent=2, default=_js))
 
 
 if __name__ == "__main__":
