@@ -45,6 +45,12 @@ class TrainConfig:
     weight_decay: float = 5e-3  # the run used 0.005 (cell 2), not the fn default
     iou_thresh: float = 0.4  # matching threshold
     neg_pos_ratio: float = 3.0
+    # "cosine" = per-step warmup-cosine (the reference's actual run,
+    # sched_step_w_opt=True); "plateau" = per-epoch reduce-on-plateau on the
+    # validation loss (the sched_step_w_opt=False intent, SSD_trainer.py:383)
+    scheduler: str = "cosine"
+    plateau_factor: float = 0.1
+    plateau_patience: int = 10
     early_stopping_rounds: int | None = None
     epoch_save_interval: int | None = None
     save_dir: str = "checkpoints"

@@ -48,7 +48,14 @@ def _unpack(item):
 def merge_results(d1: dict, d2: dict) -> dict:
     """Key-wise concatenation of two homogeneous results dicts; the
     ``epochs`` key takes d2's value (reference merge_dicts_preserve_order,
-    SSD_trainer.py:817-867)."""
+    SSD_trainer.py:817-867).
+
+    Beyond the reference: nested dicts merge recursively and sets merge
+    insertion-style without duplicates, so repeated resumes never fall into
+    the reference's ``(v1, v2)`` tuple-nesting fallback for structured
+    values (``((a, b), c)`` after two resumes).  The tuple fallback remains
+    only for scalar-like leaves, where nesting cannot occur silently.
+    """
     if set(d1.keys()) != set(d2.keys()):
         raise KeyError("Dicts must have identical key sets.")
     out = {}
@@ -58,6 +65,13 @@ def merge_results(d1: dict, d2: dict) -> dict:
             out[k] = np.concatenate([v1, v2], axis=0)
         elif isinstance(v1, (list, tuple)) and isinstance(v2, (list, tuple)):
             out[k] = list(v2) if k == "epochs" else list(v1) + list(v2)
+        elif isinstance(v1, dict) and isinstance(v2, dict):
+            if set(v1.keys()) == set(v2.keys()):
+                out[k] = merge_results(v1, v2)
+            else:  # disjoint/partial keys: d2 entries win on overlap
+                out[k] = {**v1, **v2}
+        elif isinstance(v1, set) and isinstance(v2, set):
+            out[k] = list(v1) + [x for x in v2 if x not in v1]
         else:
             out[k] = (v1, v2)
     return out
@@ -126,6 +140,7 @@ def fit(
     past_train_dict: dict | None = None,
     rng_key=None,
     initial_best_err: float | None = None,
+    lr_controller=None,
     log: Callable[[str], None] = print,
 ) -> tuple[Any, dict]:
     """Run the train/eval cycle; returns (final_state, results dict).
@@ -133,6 +148,12 @@ def fit(
     ``train_loader_fn``/``val_loader_fn`` are zero-arg callables returning a
     fresh iterable of :class:`~ssdx.train.step.Batch` per epoch (the analog of
     re-iterating a DataLoader).
+
+    ``lr_controller``: optional :class:`~ssdx.train.schedule.ReduceOnPlateau`
+    — stepped once per epoch with the validation loss (the reference's
+    ``sched_step_w_opt=False`` epoch-stepped scheduler, SSD_trainer.py:383-384);
+    the resulting LR is written into the optimizer state between steps.
+    Requires an optimizer built with ``scheduler="plateau"``.
     """
     if save_model and save_dir is None:
         raise TypeError("If the model is to be saved, save_dir must be specified.")
@@ -190,6 +211,19 @@ def fit(
         test_dict = evaluate(eval_step, state, val_loader_fn(), timing=timing)
         val_map = test_dict["mAP"]["map_50"]
         val_err = test_dict["testing loss"]
+
+        # ---- per-epoch plateau LR step (sched_step_w_opt=False analog) ----
+        if lr_controller is not None:
+            from .schedule import get_learning_rate, set_learning_rate
+
+            new_lr = lr_controller.step(val_err)
+            cur_lr = get_learning_rate(state.opt_state)
+            # f32 storage vs python float: only act on real changes
+            if abs(new_lr - cur_lr) > 1e-6 * max(new_lr, cur_lr):
+                log(f"ReduceOnPlateau: lr -> {new_lr:.3e}")
+                state = state.replace(
+                    opt_state=set_learning_rate(state.opt_state, new_lr)
+                )
 
         log(
             f"Epoch: {epoch + past_epochs}  |  mAP: {val_map:.4f}  |  "

@@ -75,7 +75,7 @@ def run(cfg: Config, epochs: int | None = None, resume: bool = True, log=print):
         dtype=jnp.bfloat16 if t.bfloat16 else jnp.float32,
         width_mult=t.width_mult,
     )
-    tx, _ = build_optimizer(
+    tx, sched = build_optimizer(
         steps_per_epoch=steps_per_epoch,
         max_epochs=t.epochs,
         warmup_epochs=t.warmup_epochs,
@@ -83,7 +83,11 @@ def run(cfg: Config, epochs: int | None = None, resume: bool = True, log=print):
         min_lr=t.min_lr,
         momentum=t.momentum,
         weight_decay=t.weight_decay,
+        scheduler=getattr(t, "scheduler", "cosine"),
+        plateau_factor=getattr(t, "plateau_factor", 0.1),
+        plateau_patience=getattr(t, "plateau_patience", 10),
     )
+    lr_controller = sched if getattr(t, "scheduler", "cosine") == "plateau" else None
     rng = jax.random.key(t.seed)
     state = create_train_state(model, tx, rng)
 
@@ -139,6 +143,7 @@ def run(cfg: Config, epochs: int | None = None, resume: bool = True, log=print):
         past_train_dict=past_train_dict,
         rng_key=rng,
         initial_best_err=best_err,
+        lr_controller=lr_controller,
         log=log,
     )
 

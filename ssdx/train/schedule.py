@@ -7,13 +7,30 @@ base_lr -> min_lr over the remaining steps; stepped once per optimizer step.
 Optimizer: SGD with Nesterov momentum and decoupled-from-schedule L2 weight
 decay added to the gradient before momentum, matching torch.optim.SGD
 (SSD_trainer.py:1153-1159).
+
+Plateau variant: the reference's ``SSD_train(sched_step_w_opt=False)`` path
+steps the scheduler once per epoch with the validation loss
+(SSD_trainer.py:383-384) — the torch idiom for ``ReduceLROnPlateau`` (the
+reference wires a LambdaLR there, a latent bug; SURVEY §2.3 item 3 — we
+implement the intent).  TPU-natively the LR cannot be a traced function of a
+host-side metric, so ``build_optimizer(scheduler="plateau")`` injects the LR
+as optimizer-state (``optax.inject_hyperparams``) and the epoch loop updates
+it between jitted steps via :func:`set_learning_rate` — no recompilation,
+the LR is a scalar leaf of the donated state.
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 import optax
+import optax.tree_utils as otu
 
-__all__ = ["warmup_cosine_schedule", "build_optimizer"]
+__all__ = [
+    "warmup_cosine_schedule",
+    "build_optimizer",
+    "ReduceOnPlateau",
+    "set_learning_rate",
+    "get_learning_rate",
+]
 
 
 def warmup_cosine_schedule(
@@ -58,9 +75,41 @@ def build_optimizer(
     min_lr: float = 1e-6,
     momentum: float = 0.9,
     weight_decay: float = 5e-3,
+    scheduler: str = "cosine",
+    plateau_factor: float = 0.1,
+    plateau_patience: int = 10,
+    plateau_threshold: float = 1e-4,
+    plateau_cooldown: int = 0,
 ) -> tuple[optax.GradientTransformation, optax.Schedule]:
-    """SGD(momentum, nesterov) + warmup-cosine, sized from steps_per_epoch
-    like the reference (SSD_trainer.py:1161-1163).  Returns (tx, schedule)."""
+    """SGD(momentum, nesterov) + LR schedule, sized from steps_per_epoch
+    like the reference (SSD_trainer.py:1161-1163).  Returns (tx, schedule).
+
+    ``scheduler="cosine"`` (default, the reference's actual run): per-step
+    warmup-cosine; the returned schedule maps step -> LR.
+    ``scheduler="plateau"`` (the ``sched_step_w_opt=False`` intent): constant
+    ``base_lr`` injected as optimizer-state; the returned second value is a
+    :class:`ReduceOnPlateau` controller — call ``controller.step(val_loss)``
+    once per epoch and apply the result with :func:`set_learning_rate`
+    (``fit(lr_controller=...)`` does both).
+    """
+    if scheduler not in ("cosine", "plateau"):
+        raise ValueError(f"unknown scheduler {scheduler!r}")
+    if scheduler == "plateau":
+        tx = optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.inject_hyperparams(optax.sgd)(
+                learning_rate=base_lr, momentum=momentum, nesterov=True
+            ),
+        )
+        controller = ReduceOnPlateau(
+            base_lr=base_lr,
+            factor=plateau_factor,
+            patience=plateau_patience,
+            threshold=plateau_threshold,
+            cooldown=plateau_cooldown,
+            min_lr=min_lr,
+        )
+        return optax.flatten(tx), controller
     schedule = warmup_cosine_schedule(
         base_lr=base_lr,
         warmup_steps=warmup_epochs * steps_per_epoch,
@@ -78,3 +127,67 @@ def build_optimizer(
     # full-width passes.  Numerics are identical; only the opt_state
     # layout changes (momentum is stored as one flat vector).
     return optax.flatten(tx), schedule
+
+
+class ReduceOnPlateau:
+    """Host-side reduce-LR-on-plateau controller (mode="min").
+
+    Semantics follow ``torch.optim.lr_scheduler.ReduceLROnPlateau`` with
+    relative threshold: an epoch *improves* when
+    ``metric < best * (1 - threshold)``; after ``patience`` consecutive
+    non-improving epochs the LR is multiplied by ``factor`` (floored at
+    ``min_lr``) and a ``cooldown`` of epochs is ignored.  This is the
+    intent of the reference's per-epoch ``scheduler.step(test_loss)`` path
+    (SSD_trainer.py:383-384).
+    """
+
+    def __init__(
+        self,
+        base_lr: float,
+        factor: float = 0.1,
+        patience: int = 10,
+        threshold: float = 1e-4,
+        cooldown: int = 0,
+        min_lr: float = 0.0,
+    ):
+        if not 0.0 < factor < 1.0:
+            raise ValueError("factor must be in (0, 1)")
+        self.lr = float(base_lr)
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.cooldown = cooldown
+        self.min_lr = min_lr
+        self.best: float | None = None
+        self.num_bad = 0
+        self.cooldown_left = 0
+
+    def step(self, metric: float) -> float:
+        """Record one epoch's validation metric; returns the current LR."""
+        metric = float(metric)
+        if self.best is None or metric < self.best * (1.0 - self.threshold):
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+        if self.cooldown_left > 0:
+            self.cooldown_left -= 1
+            self.num_bad = 0
+        if self.num_bad > self.patience:
+            self.lr = max(self.lr * self.factor, self.min_lr)
+            self.cooldown_left = self.cooldown
+            self.num_bad = 0
+        return self.lr
+
+
+def set_learning_rate(opt_state, lr) -> object:
+    """Return ``opt_state`` with the injected ``learning_rate`` leaf replaced
+    (plateau optimizers only — requires ``inject_hyperparams`` in the chain).
+    Pure pytree surgery: same structure/shapes, so jitted steps that consume
+    the state do not recompile."""
+    return otu.tree_set(opt_state, learning_rate=jnp.asarray(lr, jnp.float32))
+
+
+def get_learning_rate(opt_state) -> float:
+    """Read the injected ``learning_rate`` from a plateau optimizer state."""
+    return float(otu.tree_get(opt_state, "learning_rate"))

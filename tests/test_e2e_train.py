@@ -108,3 +108,23 @@ def test_merge_results_contract():
     assert out["epochs"] == [5]
     with pytest.raises(KeyError):
         merge_results({"a": [1]}, {"b": [2]})
+
+
+def test_merge_results_recursive_and_sets():
+    """Nested dicts merge recursively and sets concatenate without dups —
+    no silent ((a,b),c) tuple nesting after repeated resumes."""
+    d1 = {"meta": {"hist": [1], "note": "x"}, "tags": {"a", "b"}, "epochs": [1]}
+    d2 = {"meta": {"hist": [2], "note": "y"}, "tags": {"b", "c"}, "epochs": [2]}
+    out = merge_results(d1, d2)
+    assert out["meta"]["hist"] == [1, 2]
+    assert out["meta"]["note"] == ("x", "y")  # scalar leaves keep both
+    assert sorted(out["tags"]) == ["a", "b", "c"]
+    # a second resume must not nest structured values
+    d3 = {"meta": {"hist": [3], "note": "z"}, "tags": {"d"}, "epochs": [3]}
+    out2 = merge_results({**out, "meta": {"hist": out["meta"]["hist"],
+                                          "note": "y"}}, d3)
+    assert out2["meta"]["hist"] == [1, 2, 3]
+    # partial-key nested dicts fall back to d2-wins shallow merge
+    out3 = merge_results({"m": {"a": 1}, "epochs": [0]},
+                         {"m": {"a": 2, "b": 3}, "epochs": [1]})
+    assert out3["m"] == {"a": 2, "b": 3}
