@@ -18,6 +18,15 @@ cell 2: num_workers=8, persistent_workers, prefetch_factor=2, pin_memory,
 
 Bootstrap oversampling (SSD_model_train.ipynb cell 2): file repetition by
 object count — 0 objects x1, 1-2 x2, 3-6 x3, 7-9 x4, >=10 x5.
+
+Multi-host: ``batch_size`` is the GLOBAL batch.  On a multi-process run
+(``jax.process_count() > 1``, after ``ssdx.mesh.initialize_distributed``)
+every process derives the same epoch order (host-independent seeded
+permutation), loads only its ``batch_size / process_count`` slice of each
+global batch, and contributes it to the globally-sharded device array via
+``jax.make_array_from_process_local_data`` — no host decodes work another
+host owns (the analog of the reference's per-worker DataLoader sharding,
+SSD_model_train.ipynb cell 2).
 """
 from __future__ import annotations
 
@@ -86,10 +95,29 @@ class DetectionLoader:
         augment_cfg: AugmentConfig | None = None,
         mesh=None,
         prefetch: bool = True,
+        process_index: int | None = None,
+        process_count: int | None = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.train = train
+        # Multi-host slicing (overridable for tests): each process loads only
+        # its contiguous slice of the global batch.
+        self.process_count = (
+            jax.process_count() if process_count is None else process_count
+        )
+        self.process_index = (
+            jax.process_index() if process_index is None else process_index
+        )
+        if batch_size % self.process_count:
+            raise ValueError(
+                f"global batch_size={batch_size} must divide evenly over "
+                f"{self.process_count} processes"
+            )
+        self.local_batch_size = batch_size // self.process_count
+        if self.process_count > 1 and mesh is None:
+            raise ValueError("multi-process loading requires a mesh")
+        self.stats = {"decoded": 0}
         if source_size is None:
             # Pick the dataset's uniform square native resolution so the
             # eval path is ONE antialiased resample native -> 300 (matching
@@ -139,6 +167,7 @@ class DetectionLoader:
 
     def _load_one(self, idx: int):
         img = self.dataset.load_image(int(idx))
+        self.stats["decoded"] += 1
         boxes, labels = self.dataset.annotations(int(idx))
         h, w = img.shape[:2]
         s = self.source_size
@@ -150,7 +179,7 @@ class DetectionLoader:
         return img, boxes, labels
 
     def _assemble(self, idxs: np.ndarray) -> tuple[np.ndarray, ...]:
-        B, s, G = self.batch_size, self.source_size, self.max_boxes
+        B, s, G = len(idxs), self.source_size, self.max_boxes
         images = np.zeros((B, s, s, 3), np.uint8)
         boxes = np.zeros((B, G, 4), np.float32)
         labels = np.zeros((B, G), np.int32)
@@ -181,7 +210,14 @@ class DetectionLoader:
 
     def _to_device(self, arrays, key) -> Batch:
         images_u8, boxes, labels, valid = arrays
-        if self.mesh is not None:
+        if self.process_count > 1:
+            # arrays hold only this process's slice of the global batch;
+            # every process contributes its shard of one global array.
+            from ..mesh import batch_sharding
+
+            sharding = batch_sharding(self.mesh)
+            put = lambda x: jax.make_array_from_process_local_data(sharding, x)
+        elif self.mesh is not None:
             from ..mesh import batch_sharding
 
             sharding = batch_sharding(self.mesh)
@@ -208,6 +244,9 @@ class DetectionLoader:
             count = len(chunk)
             if count < B:  # eval tail: wrap-around padding
                 chunk = np.concatenate([chunk, idx[: B - count]])
+            if self.process_count > 1:  # this host's slice of the global batch
+                lo = self.process_index * self.local_batch_size
+                chunk = chunk[lo : lo + self.local_batch_size]
             self._key, sub = jax.random.split(self._key)
             yield LoadedBatch(self._to_device(self._assemble(chunk), sub), count)
         self._epoch += 1
