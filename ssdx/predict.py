@@ -111,9 +111,10 @@ def postprocess(
 
     if nms_backend == "auto":
         # Pallas masked-scan NMS wins on TPU (r3 measurement: full
-        # postprocess 2.9 vs 4.3 ms/iter at bs=32 with the XLA fixpoint),
-        # but its in-VMEM [K, K] DIoU working set caps the candidate width;
-        # wide-K eval runs (score_thresh < 0.1 -> K=1600) fall back to XLA.
+        # postprocess 2.9 vs 4.3 ms/iter at bs=32 with the XLA fixpoint).
+        # Narrow K runs the full-matrix kernel; wide K (eval thresholds:
+        # score 0.05 -> K=1600) runs the tiled sequential-greedy kernel
+        # (r4) — no more XLA fallback on the eval path.
         # Resolution respects a jax.default_device(cpu) context (the
         # process backend alone would wrongly pick Pallas for programs
         # pinned to the host CPU, e.g. scripts/tpu_parity_check.py).
@@ -122,7 +123,7 @@ def postprocess(
             on_tpu = jax.default_backend() in ("tpu", "axon")
         else:
             on_tpu = getattr(dev, "platform", str(dev)) in ("tpu", "axon")
-        nms_backend = "pallas" if (on_tpu and K <= 512) else "xla"
+        nms_backend = "pallas" if on_tpu else "xla"
 
     # Keep postprocessing in its own fusion island.  Two independent
     # reasons, re-validated under the chained timing protocol

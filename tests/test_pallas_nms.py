@@ -32,6 +32,51 @@ def test_pallas_matches_xla(class_aware):
         np.testing.assert_array_equal(xla, pls)
 
 
+@pytest.mark.parametrize("n", [600, 1600])
+def test_tiled_kernel_matches_xla_wide_k(n):
+    """K > 512 dispatches to the tiled sequential-greedy kernel; must equal
+    the XLA fixpoint (== exact greedy) including cross-tile suppression."""
+    rng = np.random.default_rng(7)
+    B = 2
+    # clustered boxes force long suppression chains that span tiles
+    centers = rng.uniform(30, 270, (B, 12, 2))
+    pick = rng.integers(0, 12, (B, n))
+    lo = centers[np.arange(B)[:, None], pick] + rng.normal(0, 6, (B, n, 2))
+    sz = rng.uniform(15, 50, (B, n, 2))
+    boxes = np.concatenate([lo, lo + sz], -1).astype(np.float32)
+    scores = rng.uniform(0.01, 1.0, (B, n)).astype(np.float32)
+    labels = rng.integers(0, 3, (B, n)).astype(np.int32)
+    valid = np.ones((B, n), bool)
+    valid[:, -7:] = False
+    args = (jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+            jnp.asarray(labels))
+    for thresh, class_aware in ((0.3, True), (0.5, False)):
+        xla = np.asarray(batched_nms_mask(*args, thresh,
+                                          class_aware=class_aware,
+                                          backend="xla"))
+        pls = np.asarray(batched_nms_mask(*args, thresh,
+                                          class_aware=class_aware,
+                                          backend="pallas_interpret"))
+        np.testing.assert_array_equal(xla, pls)
+
+
+def test_tiled_kernel_pads_non_tile_multiple():
+    """K=700 (not a multiple of the 256 tile) pads with invalid slots."""
+    rng = np.random.default_rng(3)
+    B, n = 1, 700
+    lo = rng.uniform(0, 250, (B, n, 2))
+    sz = rng.uniform(10, 60, (B, n, 2))
+    boxes = np.concatenate([lo, lo + sz], -1).astype(np.float32)
+    scores = rng.uniform(0.01, 1.0, (B, n)).astype(np.float32)
+    valid = np.ones((B, n), bool)
+    args = (jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), None)
+    xla = np.asarray(batched_nms_mask(*args, 0.4, class_aware=False,
+                                      backend="xla"))
+    pls = np.asarray(batched_nms_mask(*args, 0.4, class_aware=False,
+                                      backend="pallas_interpret"))
+    np.testing.assert_array_equal(xla, pls)
+
+
 def test_postprocess_pallas_backend():
     from ssdx import priors as P
     from ssdx.predict import postprocess
