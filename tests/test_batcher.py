@@ -124,3 +124,61 @@ def test_close_is_idempotent_and_fast():
     t0 = time.monotonic()
     mb.close()
     assert time.monotonic() - t0 < 5.0
+
+
+def test_warmup_compiles_every_bucket_with_traffic_kwargs():
+    """warmup=True pre-runs predict for every batch bucket with EXACTLY the
+    kwargs real traffic will use (they are static jit args; other values
+    would compile the wrong programs)."""
+    det = StubDetector()
+    kw = {"score_thresh": 0.2, "nms_thresh": 0.3, "max_per_img": 100}
+    mb = MicroBatcher(det, max_batch=8, max_wait_ms=1.0, warmup=True,
+                      warmup_kwargs=kw)
+    try:
+        deadline = time.monotonic() + 10
+        while time.monotonic() < deadline:
+            with det._lock:
+                sizes = sorted(n for n, k in det.calls if k == kw)
+            if sizes == [1, 2, 4, 8]:
+                break
+            time.sleep(0.01)
+        assert sizes == [1, 2, 4, 8], sizes
+        # a real request right after warmup hits an already-compiled bucket
+        out = mb.predict_pil(3, **kw)
+        assert out["tag"] == 3.0
+    finally:
+        mb.close()
+
+
+def test_concurrent_load_latency_sane():
+    """Sustained concurrent load: all requests served, per-request latency
+    bounded by (wait window + model time + queueing), batcher coalesces."""
+    det = StubDetector(delay_s=0.01)
+    mb = MicroBatcher(det, max_batch=8, max_wait_ms=5.0)
+    lat: list[float] = []
+    lock = threading.Lock()
+
+    def client(i):
+        t0 = time.monotonic()
+        out = mb.predict_pil(i)
+        dt = time.monotonic() - t0
+        with lock:
+            lat.append(dt)
+        assert out["tag"] == float(i)
+
+    try:
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(32)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=60)
+        assert len(lat) == 32
+        assert mb.stats["images"] == 32
+        assert mb.stats["batches"] < 32  # coalescing happened
+        lat.sort()
+        p99 = lat[int(0.99 * (len(lat) - 1))]
+        # 32 reqs / 8-wide batches @ ~10ms model time + 5ms windows: generous
+        # bound that still catches serialization regressions (32 x 10ms)
+        assert p99 < 0.25, f"p99={p99:.3f}s"
+    finally:
+        mb.close()

