@@ -29,6 +29,9 @@ class DataConfig:
     val_fraction: float = 0.25  # notebook val split of train
     seed: int = 724
     bootstrap: bool = True  # best run uses bootstrap oversampling
+    # Cache decoded (source-size) images in RAM across epochs — decode-bound
+    # hosts only; costs source_size^2 * 3 bytes per training image.
+    cache_images: bool = False
     zoom_out_prob: float = 0.0  # best run disables zoom-out
     min_area_frac: float = 0.02
     small_min_scale: float = 0.4

@@ -97,6 +97,7 @@ class DetectionLoader:
         prefetch: bool = True,
         process_index: int | None = None,
         process_count: int | None = None,
+        cache_images: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -158,6 +159,13 @@ class DetectionLoader:
         )
         self._pool = ThreadPoolExecutor(max_workers=num_workers)
         self._key = jax.random.key(seed)
+        # Optional in-RAM decoded-image cache (post source-size resize).
+        # The reference re-decodes every JPEG each epoch in its DataLoader
+        # workers (CarImageClass.py:82, 8 worker processes); on a host with
+        # few cores the decode becomes the training bottleneck, so multi-
+        # epoch runs can trade RAM (source_size^2 * 3 bytes/image) for CPU.
+        # Opt-in: stats['decoded'] then counts cache MISSES only.
+        self._cache: dict[int, tuple] | None = {} if cache_images else None
 
     def __len__(self) -> int:
         n = len(self._base_indices)
@@ -166,9 +174,14 @@ class DetectionLoader:
     # ---- host side ----
 
     def _load_one(self, idx: int):
-        img = self.dataset.load_image(int(idx))
+        idx = int(idx)
+        if self._cache is not None:
+            hit = self._cache.get(idx)
+            if hit is not None:
+                return hit
+        img = self.dataset.load_image(idx)
         self.stats["decoded"] += 1
-        boxes, labels = self.dataset.annotations(int(idx))
+        boxes, labels = self.dataset.annotations(idx)
         h, w = img.shape[:2]
         s = self.source_size
         if (h, w) != (s, s):
@@ -176,6 +189,10 @@ class DetectionLoader:
 
             img = cv2.resize(img, (s, s), interpolation=cv2.INTER_AREA)
             boxes = boxes * np.array([s / w, s / h, s / w, s / h], np.float32)
+        if self._cache is not None:
+            # benign race: two threads may decode the same index once each;
+            # dict assignment is atomic so the cache stays consistent
+            self._cache[idx] = (img, boxes, labels)
         return img, boxes, labels
 
     def _assemble(self, idxs: np.ndarray) -> tuple[np.ndarray, ...]:

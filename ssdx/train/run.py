@@ -59,10 +59,12 @@ def run(cfg: Config, epochs: int | None = None, resume: bool = True, log=print):
         train_ds, d.batch_size, train=True, source_size=d.source_size,
         max_boxes=d.max_boxes, num_workers=d.num_workers, seed=d.seed,
         bootstrap=d.bootstrap, augment_cfg=aug, mesh=mesh,
+        cache_images=d.cache_images,
     )
     mk_val_loader = lambda: DetectionLoader(
         val_ds, d.batch_size, train=False, source_size=d.source_size,
         max_boxes=d.max_boxes, num_workers=d.num_workers, seed=d.seed, mesh=mesh,
+        cache_images=d.cache_images,
     )
     # Loader objects are persistent (thread pool reuse, like the reference's
     # persistent_workers); fit() re-iterates them each epoch.

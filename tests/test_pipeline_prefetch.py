@@ -84,3 +84,21 @@ def test_explicit_small_max_boxes_warns(manybox_dir):
                                  max_boxes=64, num_workers=1, prefetch=False)
     with pytest.warns(UserWarning, match="truncating 6 of 70"):
         list(loader)
+
+
+def test_cache_images_decodes_each_once(small_dir):
+    """cache_images=True: epoch 2+ hits RAM, batches stay identical."""
+    ds = DetectionDataset(small_dir)
+    mk = lambda cache: DetectionLoader(
+        ds, batch_size=4, train=False, source_size=32, max_boxes=4,
+        num_workers=2, prefetch=False, cache_images=cache)
+    cached, plain = mk(True), mk(False)
+    e1 = [np.asarray(b.batch.images) for b in cached]
+    assert cached.stats["decoded"] == len(ds)
+    e2 = [np.asarray(b.batch.images) for b in cached]
+    assert cached.stats["decoded"] == len(ds)  # second epoch: all cache hits
+    ref = [np.asarray(b.batch.images) for b in plain]
+    assert plain.stats["decoded"] == len(ds)
+    for a, b, c in zip(e1, e2, ref):
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(a, c)
