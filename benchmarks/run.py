@@ -132,11 +132,10 @@ def bench_batched(batch_size: int = 32, fold_bn: bool = True,
     aggregate and per-device throughput.
 
     ``int8``: quantize the post-stem backbone to int8 (ssdx/quant.py — the
-    Detector.quantize_int8 serving mode; stem + heads stay bf16).  NOTE:
-    on the current TPU toolchain int8 GEMMs do not lower to the MXU and
-    this config measures ~40x SLOWER than bf16 (see ssdx/quant.py
-    docstring for the microbenchmarks); the flag exists to keep that
-    measurement reproducible.
+    Detector.quantize_int8 serving mode; stem + heads stay bf16).  On TPU
+    this runs the Pallas int8 conv backend (ssdx/ops/pallas_int8_conv.py),
+    which routes int8 GEMMs to the MXU; plain XLA would lower them to
+    ~1000x-slower scalar VPU code (ssdx/quant.py docstring).
     """
     import jax
     import jax.numpy as jnp
@@ -184,6 +183,10 @@ def bench_batched(batch_size: int = 32, fold_bn: bool = True,
 
             feats = q.stem_bf16(variables["params"], images)
         if qp is not None:
+            if jax.default_backend() in ("tpu", "axon"):
+                from ssdx.ops.pallas_int8_conv import apply_int8_pallas
+
+                return apply_int8_pallas(qp, feats, jnp.bfloat16)
             from ssdx import quant as q
 
             return q.apply_int8(qp, feats, jnp.bfloat16)

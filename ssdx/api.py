@@ -145,7 +145,9 @@ class Detector:
 
     # ---- int8 quantized serving (ssdx/quant.py) ----
 
-    def quantize_int8(self, calib_images, calib_batch: int = 16) -> dict:
+    def quantize_int8(
+        self, calib_images, calib_batch: int = 16, backend: str = "auto"
+    ) -> dict:
         """Switch this detector's forward to the int8-quantized backbone
         (symmetric int8, per-output-channel weight scales, per-input-channel
         activation scales folded into the weights — see ssdx/quant.py).  The
@@ -154,6 +156,11 @@ class Detector:
         ``calib_images``: representative normalized images [N,300,300,3]
         (N >= 1) used to calibrate activation scales; processed in chunks of
         ``calib_batch``.  Returns the calibrated per-layer amax[cin] dict.
+
+        ``backend``: "pallas" runs the int8 convs as Pallas MXU kernels
+        (ssdx/ops/pallas_int8_conv.py — the fast path; plain XLA lowers
+        int8 convs to ~1000x-slower scalar VPU code), "xla" keeps the
+        lax.conv formulation (CPU/tests), "auto" picks by platform.
 
         The reference has no quantized serving mode; this is the TPU-native
         production-serving extension (int8 MXU rate is 2x bf16 on v5e).
@@ -189,9 +196,18 @@ class Detector:
                 scales[k] = np.maximum(scales[k], v) if k in scales else v
         self.quant_params = quant.quantize_ssd(params, scales, self.num_classes)
         qp = self.quant_params
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+        if backend == "pallas":
+            from .ops.pallas_int8_conv import apply_int8_pallas
 
-        def _fwd(variables, images):
-            return quant.apply_int8(qp, stem(variables, images), dtype)
+            def _fwd(variables, images):
+                return apply_int8_pallas(qp, stem(variables, images), dtype)
+
+        else:
+
+            def _fwd(variables, images):
+                return quant.apply_int8(qp, stem(variables, images), dtype)
 
         self._install_forward(_fwd)
         return scales

@@ -39,16 +39,18 @@ Accuracy is use-case dependent; measure it with ``detection_agreement``
 (below) or a real mAP eval before deploying.  Everything here is static
 shapes + static scales: one compiled program, no dynamic requantization.
 
-**Measured status on the current TPU toolchain (do not enable blindly).**
-The premise above holds on v5e silicon, but the XLA lowering available in
+**Measured status on the current TPU toolchain.**  The *XLA* lowering in
 this environment does NOT route int8 GEMMs to the MXU: a 2048x1024x1024
 ``lax.dot(int8, int8) -> int32`` measured 4,358 ms vs 4.3 ms bf16 (about
 1000x slower — scalar VPU code), and an [8,150,150,64]x[3,3,64,128] int8
-conv 143 ms vs 6.8 ms bf16.  End to end the int8 backbone ran ~40x slower
-than bf16 on the attached chip.  Until the toolchain lowers int8 convs to
-the MXU, this module is a validated accuracy/packaging path (tests run it
-on CPU; ~4x smaller weights, int8 HBM activations), not a speed win —
-serving keeps bf16 as the default and ``SSDX_INT8=1`` is opt-in.
+conv 143 ms vs 6.8 ms bf16.  The *Pallas/Mosaic* compiler DOES route int8
+to the MXU (264 TF/s on a tiled int8 matmul vs 191 TF/s peak XLA bf16 —
+scripts/bench_int8_mxu.py), so on TPU the int8 backbone runs as Pallas
+kernels (ssdx/ops/pallas_int8_conv.py; per-layer up to 2.2x the bf16
+conv, 420 TF/s peak) and ``apply_int8`` here is the XLA oracle those
+kernels are tested against (and the CPU path).  Serving keeps bf16 as the
+default and ``SSDX_INT8=1`` is opt-in; see pallas_int8_conv.py for the
+current end-to-end numbers.
 
 Architecture parity references: the layer topology mirrors ``mySSD``
 (reference SSD_from_scratch.py:46-271) exactly as ssdx/model.py builds it;
