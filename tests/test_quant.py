@@ -32,15 +32,19 @@ def test_int8_max_pool_matches_float():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-@pytest.fixture()
-def demo_detector():
-    # function-scoped: quantize_int8 mutates the detector's forward in place
+def _demo_detector():
     from pathlib import Path
 
     import ssdx.serve.app as app_mod
 
     bundled = Path(app_mod.__file__).parent / "demo_weights.npz"
     return Detector.from_weights(bundled, CLASS_TO_IDX, fold_bn=True)
+
+
+@pytest.fixture()
+def demo_detector():
+    # function-scoped: quantize_int8 mutates the detector's forward in place
+    return _demo_detector()
 
 
 @pytest.fixture(scope="module")
@@ -75,12 +79,30 @@ def test_quantize_ssd_structure(demo_detector):
         assert int(jnp.max(jnp.abs(ql.kernel_q))) == 127
 
 
-def test_int8_forward_close_to_bf16(demo_detector, example_images):
+@pytest.fixture(scope="module")
+def quant_outputs(example_images):
+    """Everything both slow tests need, computed with exactly ONE bf16 and
+    ONE int8 full-width forward (the int8 XLA path executes as scalar
+    emulation on this 1-core CPU host — each extra forward is ~2-4 min, so
+    the raw-logit and detection-level assertions share one pass via
+    ``predict_batched(pre_loc_all=..., pre_conf_all=...)``)."""
+    det = _demo_detector()
+    loc_a, cls_a = det.forward(example_images)
+    det_bf = det.predict_batched(
+        pre_loc_all=loc_a, pre_conf_all=cls_a, score_thresh=0.5)
+    det.quantize_int8(example_images)
+    loc_b, cls_b = det.forward(example_images)
+    det_i8 = det.predict_batched(
+        pre_loc_all=loc_b, pre_conf_all=cls_b, score_thresh=0.3)
+    return dict(loc_a=loc_a, cls_a=cls_a, loc_b=loc_b, cls_b=cls_b,
+                det_bf=det_bf, det_i8=det_i8)
+
+
+def test_int8_forward_close_to_bf16(quant_outputs):
     """Raw head outputs of the int8 backbone track the bf16 ones on real
     (trained-weight, in-distribution) inputs."""
-    loc_a, cls_a = demo_detector.forward(example_images)
-    demo_detector.quantize_int8(example_images)
-    loc_b, cls_b = demo_detector.forward(example_images)
+    loc_a, cls_a = quant_outputs["loc_a"], quant_outputs["cls_a"]
+    loc_b, cls_b = quant_outputs["loc_b"], quant_outputs["cls_b"]
 
     # class logits drive detection: require tight correlation and bounded
     # error relative to the logit spread
@@ -93,7 +115,7 @@ def test_int8_forward_close_to_bf16(demo_detector, example_images):
         assert rel_rmse < 0.12, rel_rmse
 
 
-def test_int8_detection_agreement(demo_detector, example_images):
+def test_int8_detection_agreement(quant_outputs, example_images):
     """Through the full predict pipeline, int8 finds every object bf16 is
     confident about on the bundled example scenes.
 
@@ -104,9 +126,8 @@ def test_int8_detection_agreement(demo_detector, example_images):
     equal-threshold match on a handful of detections)."""
     from ssdx.boxes import pairwise_iou
 
-    det_bf = demo_detector.predict_batched(example_images, score_thresh=0.5)
-    demo_detector.quantize_int8(example_images)
-    det_i8 = demo_detector.predict_batched(example_images, score_thresh=0.3)
+    det_bf = quant_outputs["det_bf"]
+    det_i8 = quant_outputs["det_i8"]
 
     assert int(np.asarray(det_bf.valid).sum()) > 0  # scenes have objects
     n_conf = n_found = 0

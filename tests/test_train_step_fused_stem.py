@@ -84,24 +84,31 @@ def test_fused_step_matches_xla_step_f32():
 
 
 def test_fused_step_mesh_matches_single_device_f32():
-    """shard_mapped fused stem under the 8-device virtual mesh: psum'd batch
+    """shard_mapped fused stem under a 2-device virtual mesh: psum'd batch
     statistics and parameter gradients must reproduce the single-device
     fused step on the same global batch (the fused analog of
-    tests/test_sync_bn.py)."""
+    tests/test_sync_bn.py).
+
+    2 devices, not 8: this test must pay the full-width f32 fwd+bwd compile
+    TWICE (the fused stem is specialized to the full 300x300 stem), and on
+    this 1-core host the 8-shard variant alone cost ~9 min of suite time.
+    The psum plumbing being proven here is device-count-independent;
+    8-device mesh coverage lives in tests/test_sync_bn.py,
+    tests/test_train_step.py, and the driver's dryrun_multichip(8)."""
     from ssdx.mesh import create_mesh, shard_batch
 
     model = SSD300(num_classes=6, dtype=jnp.float32)
     tx, _ = build_optimizer(steps_per_epoch=10, max_epochs=2,
                             warmup_epochs=0, base_lr=1e-2)
-    batch = _batch(np.random.default_rng(1), B=8)
+    batch = _batch(np.random.default_rng(1), B=2)
 
     state0 = create_train_state(model, tx, jax.random.key(0))
     step_1d = make_train_step(model, tx, PRIORS, PRIORS_XYXY,
                               iou_thresh=0.4, fused_stem=True)
     sa, ma = step_1d(state0, batch)
 
-    mesh = create_mesh()
-    assert mesh.devices.size == 8
+    mesh = create_mesh(jax.devices()[:2])
+    assert mesh.devices.size == 2
     state0 = create_train_state(model, tx, jax.random.key(0))
     step_8d = make_train_step(model, tx, PRIORS, PRIORS_XYXY,
                               iou_thresh=0.4, mesh=mesh, fused_stem=True)
@@ -118,9 +125,9 @@ def test_fused_step_mesh_matches_single_device_f32():
     flat_a = jax.tree.leaves_with_path(sa.params)
     flat_b = {jax.tree_util.keystr(k): v
               for k, v in jax.tree.leaves_with_path(sb.params)}
-    # 2e-2: single-device vs 8-shard reduction orders flip slightly more
+    # 2e-2: single-device vs sharded reduction orders flip slightly more
     # routing decisions than the same-device comparison above; a psum bug
-    # would show as ~8x (rel ~7), not percent-level
+    # would show as ~Nx (rel ~1), not percent-level
     for k, va in flat_a:
         ks = jax.tree_util.keystr(k)
         va = np.asarray(va).ravel()
