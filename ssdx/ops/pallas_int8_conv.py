@@ -74,8 +74,15 @@ _I8_MIN, _I8_MAX = -127, 127
 _XCAT_BUDGET = 3_000_000
 
 
-def _epilogue(acc, ws, bias, inv_ns, emit):
-    """acc [M, Cn] int32 -> int8 (requantized) or f32 (tap layers).
+def _epilogue(acc, ws, bias, inv_ns, emit, tap_dtype=jnp.float32):
+    """acc [M, Cn] int32 -> int8 (requantized), a float tap, or both.
+
+    ``emit``: "int8" -> requantized int8 for the next layer; "f32"/"tap" ->
+    the float activation (tap layers feeding the bf16 heads; "f32" keeps
+    the name the oracle tests use); "both" -> (int8, tap) in one pass — tap
+    layers WITH a successor emit the requantized successor input and the
+    head-dtype tap from one epilogue, so the activation never round-trips
+    HBM as f32 for a host-side requantization.
 
     Requantization multiplies by the precomputed reciprocal scale instead
     of dividing: f32 division is multi-op VPU work per output element
@@ -85,13 +92,17 @@ def _epilogue(acc, ws, bias, inv_ns, emit):
     """
     y = acc.astype(jnp.float32) * ws + bias
     y = jnp.maximum(y, 0.0)
-    if emit == "int8":
+    if emit in ("int8", "both"):
         q = jnp.round(y * inv_ns)
-        return jnp.clip(q, _I8_MIN, _I8_MAX).astype(jnp.int8)
-    return y
+        q = jnp.clip(q, _I8_MIN, _I8_MAX).astype(jnp.int8)
+        if emit == "int8":
+            return q
+        return q, y.astype(tap_dtype)
+    return y.astype(tap_dtype)
 
 
-def _conv3_kernel(x_ref, w_ref, ws_ref, b_ref, ns_ref, o_ref, *, bh, Wp, d, emit):
+def _conv3_kernel(x_ref, w_ref, ws_ref, b_ref, ns_ref, *o_refs, bh, Wp, d, emit,
+                  tap_dtype=jnp.float32):
     # Mosaic only allows dynamic sublane offsets that are provable multiples
     # of 8: Wp is padded to a multiple of 8 on the host, so ``base`` and the
     # per-ky row offsets are aligned; the +-kx column shifts (1..2d sublanes)
@@ -114,12 +125,21 @@ def _conv3_kernel(x_ref, w_ref, ws_ref, b_ref, ns_ref, o_ref, *, bh, Wp, d, emit
         wk = w_ref[pl.ds(kx * 3 * cin, 3 * cin), :]
         part = jnp.dot(xcat, wk, preferred_element_type=jnp.int32)
         acc = part if acc is None else acc + part
-    o_ref[0] = _epilogue(acc, ws_ref[...], b_ref[...], ns_ref[...], emit)
+    out = _epilogue(acc, ws_ref[...], b_ref[...], ns_ref[...], emit, tap_dtype)
+    if emit == "both":
+        o_refs[0][0], o_refs[1][0] = out
+    else:
+        o_refs[0][0] = out
 
 
-def _mm_kernel(x_ref, w_ref, ws_ref, b_ref, ns_ref, o_ref, *, emit):
+def _mm_kernel(x_ref, w_ref, ws_ref, b_ref, ns_ref, *o_refs, emit,
+               tap_dtype=jnp.float32):
     acc = jnp.dot(x_ref[...], w_ref[...], preferred_element_type=jnp.int32)
-    o_ref[...] = _epilogue(acc, ws_ref[...], b_ref[...], ns_ref[...], emit)
+    out = _epilogue(acc, ws_ref[...], b_ref[...], ns_ref[...], emit, tap_dtype)
+    if emit == "both":
+        o_refs[0][...], o_refs[1][...] = out
+    else:
+        o_refs[0][...] = out
 
 
 # (H, cin, cout) -> (cnb, bh): sweep winners on the attached v5e
@@ -174,19 +194,27 @@ def int8_conv(
     interpret: bool = False,
     cnb: int | None = None,
     bh: int | None = None,
+    tap_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """One quantized conv layer on the MXU.
 
     xq [B,H,W,Cin] int8, kernel_q [kh,kw,Cin,Cout] int8 (input scales
     pre-folded, ssdx/quant.quantize_ssd), w_scale/bias [Cout] f32.
     ``emit="int8"`` requantizes to ``next_in_scale`` (per-channel [Cout]);
-    ``emit="f32"`` returns the float activations (tap layers).
-    Returns [B, Ho, Wo, Cout] with Ho/Wo already stride-sliced.
+    ``emit="f32"`` returns the float activations in ``tap_dtype`` (tap
+    layers); ``emit="both"`` returns the (int8, tap) pair from one pass.
+    Returns [B, Ho, Wo, Cout] with Ho/Wo already stride-sliced (a tuple of
+    two such arrays for "both").
     """
     kh, kw, cin, cout = kernel_q.shape
     B, H, W, _ = xq.shape
     assert xq.dtype == jnp.int8 and kernel_q.dtype == jnp.int8
-    out_dtype = jnp.int8 if emit == "int8" else jnp.float32
+    if emit == "int8":
+        out_dtypes = [jnp.int8]
+    elif emit == "both":
+        out_dtypes = [jnp.int8, tap_dtype]
+    else:
+        out_dtypes = [tap_dtype]
     cnb = cnb or _pick_cnb(H, cin, cout)
     ws2 = jnp.asarray(w_scale, jnp.float32).reshape(1, cout)
     b2 = jnp.asarray(bias, jnp.float32).reshape(1, cout)
@@ -199,8 +227,8 @@ def int8_conv(
         bm = min(2048, -(-M // 8) * 8)
         Mp = -(-M // bm) * bm
         x2 = jnp.pad(xq.reshape(M, cin), ((0, Mp - M), (0, 0)))
-        out = pl.pallas_call(
-            functools.partial(_mm_kernel, emit=emit),
+        outs = pl.pallas_call(
+            functools.partial(_mm_kernel, emit=emit, tap_dtype=tap_dtype),
             grid=(Mp // bm, cout // cnb),
             in_specs=[
                 pl.BlockSpec((bm, cin), lambda i, j: (i, 0)),
@@ -209,11 +237,14 @@ def int8_conv(
                 col(),
                 col(),
             ],
-            out_specs=pl.BlockSpec((bm, cnb), lambda i, j: (i, j)),
-            out_shape=jax.ShapeDtypeStruct((Mp, cout), out_dtype),
+            out_specs=[pl.BlockSpec((bm, cnb), lambda i, j: (i, j))
+                       for _ in out_dtypes],
+            out_shape=[jax.ShapeDtypeStruct((Mp, cout), dt)
+                       for dt in out_dtypes],
             interpret=interpret,
         )(x2, kernel_q.reshape(cin, cout), ws2, b2, ns2)
-        return out[:M].reshape(B, H, W, cout)
+        outs = tuple(o[:M].reshape(B, H, W, cout) for o in outs)
+        return outs if emit == "both" else outs[0]
 
     assert (kh, kw) == (3, 3), (kh, kw)
     d = dilation
@@ -234,8 +265,9 @@ def int8_conv(
     xf = xpad.reshape(B, rows_in * Wp, cin)
     # kx-major weight layout matches the kernel's per-kx concat of ky slices.
     wf = kernel_q.transpose(1, 0, 2, 3).reshape(9 * cin, cout)
-    out = pl.pallas_call(
-        functools.partial(_conv3_kernel, bh=bh, Wp=Wp, d=d, emit=emit),
+    outs = pl.pallas_call(
+        functools.partial(_conv3_kernel, bh=bh, Wp=Wp, d=d, emit=emit,
+                          tap_dtype=tap_dtype),
         grid=(B, cout // cnb, Hob // bh),
         in_specs=[
             pl.BlockSpec((1, rows_in * Wp, cin), lambda b, j, r: (b, 0, 0)),
@@ -244,14 +276,19 @@ def int8_conv(
             col(),
             col(),
         ],
-        out_specs=pl.BlockSpec((1, bh * Wp, cnb), lambda b, j, r: (b, r, j)),
-        out_shape=jax.ShapeDtypeStruct((B, Hob * Wp, cout), out_dtype),
+        out_specs=[pl.BlockSpec((1, bh * Wp, cnb), lambda b, j, r: (b, r, j))
+                   for _ in out_dtypes],
+        out_shape=[jax.ShapeDtypeStruct((B, Hob * Wp, cout), dt)
+                   for dt in out_dtypes],
         interpret=interpret,
     )(xf, wf, ws2, b2, ns2)
-    out = out.reshape(B, Hob, Wp, cout)[:, :Ho, :Wo]
-    if stride != 1:
-        out = out[:, ::stride, ::stride]
-    return out
+
+    def _crop(out):
+        out = out.reshape(B, Hob, Wp, cout)[:, :Ho, :Wo]
+        return out[:, ::stride, ::stride] if stride != 1 else out
+
+    outs = tuple(_crop(o) for o in outs)
+    return outs if emit == "both" else outs[0]
 
 
 # --------------------------------------------------------- full backbone
@@ -271,10 +308,12 @@ def apply_int8_pallas(qp, feats: jnp.ndarray, head_dtype=jnp.bfloat16, interpret
     ssdx/quant.apply_int8, with every conv running as a Pallas int8 kernel.
 
     feats [B,150,150,64] (bf16/f32, from the stem) ->
-    (loc [B,8732,4] f32, cls [B,8732,C] f32).  Tap layers emit float
-    activations for the bf16 heads (requantization for their successor
-    happens host-side, exactly as in apply_int8); all other layers
-    requantize in-kernel and the inter-layer activations stay int8 in HBM.
+    (loc [B,8732,4] f32, cls [B,8732,C] f32).  Tap layers with a successor
+    emit BOTH the head-dtype tap and the requantized int8 successor input
+    from one fused epilogue (emit="both" — the activation never round-trips
+    HBM as f32 for a host-side requantization); the final layer emits the
+    tap alone; all other layers requantize in-kernel and the inter-layer
+    activations stay int8 in HBM.
     """
     from ..priors import BOXES_PER_LOCATION, NUM_PRIORS
     from ..quant import _L, _TOPOLOGY, _conv, _max_pool, _quantize_act
@@ -291,14 +330,18 @@ def apply_int8_pallas(qp, feats: jnp.ndarray, head_dtype=jnp.bfloat16, interpret
             pad=_layer_pad(spec),
             interpret=interpret,
         )
-        if spec.tap is not None or nxt is None:
-            y = int8_conv(xq, ql.kernel_q, ql.w_scale, ql.bias, emit="f32", **kw)
-            if spec.tap is not None:
-                taps[spec.tap] = y.astype(head_dtype)
-            if nxt is not None:
-                xq = _quantize_act(y, qp.layers[nxt.name].in_scale)
-                if spec.pool:
-                    xq = _max_pool(xq, ceil=spec.pool == "ceil")
+        if spec.tap is not None and nxt is not None:
+            xq, tap = int8_conv(
+                xq, ql.kernel_q, ql.w_scale, ql.bias,
+                qp.layers[nxt.name].in_scale, emit="both",
+                tap_dtype=head_dtype, **kw)
+            taps[spec.tap] = tap
+            if spec.pool:
+                xq = _max_pool(xq, ceil=spec.pool == "ceil")
+        elif nxt is None:
+            taps[spec.tap] = int8_conv(
+                xq, ql.kernel_q, ql.w_scale, ql.bias, emit="f32",
+                tap_dtype=head_dtype, **kw)
         else:
             xq = int8_conv(
                 xq,

@@ -54,11 +54,7 @@ def test_layer_exact_vs_oracle(name, H, cin, cout, stride, padding, dilation, pa
     kq, ws, b, ns = _rand_layer(cin, cout, k, k)
     xq = jnp.asarray(RNG.integers(-127, 128, (2, H, H, cin)).astype(np.int8))
     spec = quant._L(name, (k, k), stride, padding, dilation, None, None)
-    for emit in ("int8", "f32"):
-        got = int8_conv(
-            xq, kq, ws, b, ns if emit == "int8" else None,
-            stride=stride, dilation=dilation, pad=pad, emit=emit, interpret=True,
-        )
+    def _check(got, emit):
         want = _oracle(xq, kq, ws, b, ns, spec, emit)
         assert got.shape == want.shape, (name, emit, got.shape, want.shape)
         g, w = np.asarray(got), np.asarray(want)
@@ -68,6 +64,21 @@ def test_layer_exact_vs_oracle(name, H, cin, cout, stride, padding, dilation, pa
             diff = np.abs(g.astype(np.int32) - w.astype(np.int32))
             assert diff.max() <= 1, (name, diff.max())
             assert (diff != 0).mean() < 0.01, (name, (diff != 0).mean())
+
+    for emit in ("int8", "f32"):
+        got = int8_conv(
+            xq, kq, ws, b, ns if emit == "int8" else None,
+            stride=stride, dilation=dilation, pad=pad, emit=emit, interpret=True,
+        )
+        _check(got, emit)
+
+    # fused dual emission (tap layers): both outputs from one pass
+    got_q, got_tap = int8_conv(
+        xq, kq, ws, b, ns, stride=stride, dilation=dilation, pad=pad,
+        emit="both", interpret=True,
+    )
+    _check(got_q, "int8")
+    _check(got_tap, "f32")
 
 
 def test_full_backbone_vs_apply_int8():
