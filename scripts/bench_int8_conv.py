@@ -155,7 +155,7 @@ def sweep(bs: int, inner: int = 8):
               f"{best[0]*1e3:.3f} ms ({flops/best[0]/1e12:.1f} TF/s)", flush=True)
 
 
-def bench_backbone(bs: int):
+def _load_qp(bs: int):
     from pathlib import Path
 
     import ssdx.serve.app as app_mod
@@ -171,6 +171,128 @@ def bench_backbone(bs: int):
     ).astype(jnp.bfloat16)
     scales = quant.calibrate_act_scales(params, feats)
     qp = quant.quantize_ssd(params, scales, det.num_classes)
+    return qp, params, feats
+
+
+def bench_stages(bs: int):
+    """Where does the walk time go?  Times the int8 backbone with the head
+    convs replaced by tap sums (backbone-only) and the 12 bf16 head convs
+    alone on precomputed taps (heads-only), plus pool-free variants."""
+    qp, params, feats = _load_qp(bs)
+
+    # backbone-only: monkeypatch-free — reimplement the walk minus heads by
+    # calling apply_int8_pallas's building blocks directly.
+    from ssdx.ops.pallas_int8_conv import _layer_pad
+    from ssdx.quant import _TOPOLOGY, _max_pool, _quantize_act
+
+    def walk(f, with_pools=True):
+        taps = [None] * 6
+        xq = _quantize_act(f.astype(jnp.float32), qp.layers[_TOPOLOGY[0].name].in_scale)
+        for i, spec in enumerate(_TOPOLOGY):
+            ql = qp.layers[spec.name]
+            nxt = _TOPOLOGY[i + 1] if i + 1 < len(_TOPOLOGY) else None
+            kw = dict(stride=spec.stride, dilation=spec.dilation, pad=_layer_pad(spec))
+            if spec.tap is not None and nxt is not None:
+                xq, tap = int8_conv(xq, ql.kernel_q, ql.w_scale, ql.bias,
+                                    qp.layers[nxt.name].in_scale, emit="both",
+                                    tap_dtype=jnp.bfloat16, **kw)
+                taps[spec.tap] = tap
+            elif nxt is None:
+                taps[spec.tap] = int8_conv(xq, ql.kernel_q, ql.w_scale, ql.bias,
+                                           emit="f32", tap_dtype=jnp.bfloat16, **kw)
+            else:
+                xq = int8_conv(xq, ql.kernel_q, ql.w_scale, ql.bias,
+                               qp.layers[nxt.name].in_scale, emit="int8", **kw)
+            if spec.pool and nxt is not None and with_pools:
+                xq = _max_pool(xq, ceil=spec.pool == "ceil")
+        return taps
+
+    def body_backbone(t, f):
+        taps = walk(f + (t * 1e-30).astype(f.dtype))
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in taps) * 1e-9
+
+    taps0 = jax.jit(walk)(feats)
+    head_spec = quant._L("head", (3, 3), 1, "SAME", 1, None, None)
+
+    def body_heads(t, taps):
+        tot = jnp.float32(0.0)
+        for i, tap in enumerate(taps):
+            x = tap + (t * 1e-30).astype(tap.dtype)
+            for h in ("box_head_", "cls_head_"):
+                hp = qp.heads[f"{h}{i}"]
+                y = quant._conv(x, hp["kernel"].astype(jnp.bfloat16), head_spec, jnp.bfloat16)
+                tot += jnp.sum(y + hp["bias"].astype(jnp.bfloat16), dtype=jnp.float32)
+        return tot * 1e-9
+
+    def body_heads_fused(t, taps):
+        # loc+cls kernels concatenated on cout: ONE conv per tap.
+        tot = jnp.float32(0.0)
+        for i, tap in enumerate(taps):
+            x = tap + (t * 1e-30).astype(tap.dtype)
+            kl = qp.heads[f"box_head_{i}"]["kernel"].astype(jnp.bfloat16)
+            kc = qp.heads[f"cls_head_{i}"]["kernel"].astype(jnp.bfloat16)
+            kcat = jnp.concatenate([kl, kc], axis=-1)
+            y = quant._conv(x, kcat, head_spec, jnp.bfloat16)
+            tot += jnp.sum(y, dtype=jnp.float32)
+        return tot * 1e-9
+
+    tb = _time_loop(body_backbone, feats)
+    th = _time_loop(body_heads, taps0)
+    tf = _time_loop(body_heads_fused, taps0)
+    print(f"int8 backbone-only  bs={bs}: {tb*1e3:6.2f} ms", flush=True)
+    print(f"bf16 heads-only     bs={bs}: {th*1e3:6.2f} ms", flush=True)
+    print(f"bf16 heads fused    bs={bs}: {tf*1e3:6.2f} ms  (loc+cls one conv/tap)", flush=True)
+
+
+def bench_walk_prefix(bs: int):
+    """In-walk per-layer deltas: time the int8 walk truncated after each
+    layer; consecutive differences are the honest in-program cost of layer i
+    (+ its pool), directly comparable to the isolated --layers numbers to
+    expose glue."""
+    qp, params, feats = _load_qp(bs)
+    from ssdx.ops.pallas_int8_conv import _layer_pad
+    from ssdx.quant import _TOPOLOGY, _max_pool, _quantize_act
+
+    def walk_upto(f, n):
+        taps = [None] * 6
+        xq = _quantize_act(f.astype(jnp.float32), qp.layers[_TOPOLOGY[0].name].in_scale)
+        for i, spec in enumerate(_TOPOLOGY[:n]):
+            ql = qp.layers[spec.name]
+            nxt = _TOPOLOGY[i + 1] if i + 1 < len(_TOPOLOGY) else None
+            kw = dict(stride=spec.stride, dilation=spec.dilation, pad=_layer_pad(spec))
+            if spec.tap is not None and nxt is not None:
+                xq, tap = int8_conv(xq, ql.kernel_q, ql.w_scale, ql.bias,
+                                    qp.layers[nxt.name].in_scale, emit="both",
+                                    tap_dtype=jnp.bfloat16, **kw)
+                taps[spec.tap] = tap
+            elif nxt is None:
+                taps[spec.tap] = int8_conv(xq, ql.kernel_q, ql.w_scale, ql.bias,
+                                           emit="f32", tap_dtype=jnp.bfloat16, **kw)
+            else:
+                xq = int8_conv(xq, ql.kernel_q, ql.w_scale, ql.bias,
+                               qp.layers[nxt.name].in_scale, emit="int8", **kw)
+            if spec.pool and nxt is not None:
+                xq = _max_pool(xq, ceil=spec.pool == "ceil")
+        tot = jnp.sum(xq.astype(jnp.float32)) * 1e-9
+        for t in taps:
+            if t is not None:
+                tot += jnp.sum(t.astype(jnp.float32)) * 1e-9
+        return tot
+
+    prev = 0.0
+    for n in range(0, len(_TOPOLOGY) + 1):
+        def body(t, f, n=n):
+            return walk_upto(f + (t * 1e-30).astype(f.dtype), n)
+
+        tn = _time_loop(body, feats)
+        name = _TOPOLOGY[n - 1].name if n else "(quantize_act)"
+        print(f"prefix {n:2d} {name:14s}: {tn*1e3:7.3f} ms   delta {max(tn-prev,0)*1e3:6.3f} ms",
+              flush=True)
+        prev = tn
+
+
+def bench_backbone(bs: int):
+    qp, params, feats = _load_qp(bs)
 
     @jax.jit
     def step_i8(c, f):
@@ -220,9 +342,17 @@ def main():
     ap.add_argument("--layers", action="store_true")
     ap.add_argument("--backbone", action="store_true")
     ap.add_argument("--sweep", action="store_true")
+    ap.add_argument("--stages", action="store_true")
+    ap.add_argument("--prefix", action="store_true")
     args = ap.parse_args()
+    if args.prefix:
+        bench_walk_prefix(args.bs)
+        return
     if args.sweep:
         sweep(args.bs)
+        return
+    if args.stages:
+        bench_stages(args.bs)
         return
     if args.layers or not args.backbone:
         bench_layers(args.bs)

@@ -79,6 +79,29 @@ class ConvBNRelu(nn.Module):
         return nn.relu(x)
 
 
+class _HeadParams(nn.Module):
+    """Bare conv parameters for one multibox head.
+
+    Declares the same ``kernel``/``bias`` tree as the ``nn.Conv`` it replaces
+    (so checkpoints and the folded/quantized exporters are unchanged) but
+    returns the parameters instead of applying them: the caller concatenates
+    the box and class kernels along cout and runs ONE conv per tap.  The two
+    separate head convs each pad their small cout (k*4 = 16-24, k*C = 24-36
+    lanes) to the MXU's 128-lane tile; fusing them halves the number of
+    padded MXU passes (measured 0.65 -> 0.37 ms over the six taps at bs=32
+    on v5e, scripts/bench_int8_conv.py --stages).  Numerics are unchanged:
+    output channels of a conv are independent columns of the contraction.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        k = self.param("kernel", _conv_init, (3, 3, cin, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return k, b
+
+
 def _max_pool(x, ceil: bool = False):
     """2x2/2 max pool; ``ceil`` pads the bottom/right edge with -inf so odd
     extents round up (reference mp3 ceil_mode=True, SSD_from_scratch.py:104)."""
@@ -172,20 +195,24 @@ class SSD300(nn.Module):
         taps: Sequence[jnp.ndarray] = (tap4_3, tap7, tap8, tap9, tap10, tap11)
 
         # ---- multibox heads ----
-        head = lambda f, name: nn.Conv(
-            f,
-            (3, 3),
-            padding="SAME",
-            dtype=dt,
-            param_dtype=jnp.float32,
-            kernel_init=_conv_init,
-            name=name,
-        )
+        # One fused conv per tap: the box and class kernels are concatenated
+        # along cout so each tap pays the MXU's 128-lane cout padding once
+        # instead of twice (see _HeadParams).  The parameter tree is the same
+        # two-conv layout as the reference heads (SSD_from_scratch.py:213-229).
         B = x.shape[0]
         locs, clss = [], []
         for i, (t, k) in enumerate(zip(taps, BOXES_PER_LOCATION)):
-            loc = head(k * 4, f"box_head_{i}")(t)
-            cls = head(k * self.num_classes, f"cls_head_{i}")(t)
+            cin = t.shape[-1]
+            kl, bl = _HeadParams(k * 4, name=f"box_head_{i}")(cin)
+            kc, bc = _HeadParams(k * self.num_classes, name=f"cls_head_{i}")(cin)
+            y = jax.lax.conv_general_dilated(
+                t.astype(dt),
+                jnp.concatenate([kl, kc], axis=-1).astype(dt),
+                (1, 1),
+                "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.concatenate([bl, bc]).astype(dt)
+            loc, cls = jnp.split(y, [k * 4], axis=-1)
             # NHWC: flatten (H, W, k) -> priors axis directly; matches prior
             # ordering level->row->col->k from ssdx.priors.create_priors.
             locs.append(loc.reshape(B, -1, 4))

@@ -359,14 +359,16 @@ def apply_int8_pallas(qp, feats: jnp.ndarray, head_dtype=jnp.bfloat16, interpret
     locs, clss = [], []
     head_spec = _L("head", (3, 3), 1, "SAME", 1, None, None)
     for i, (t, k) in enumerate(zip(taps, BOXES_PER_LOCATION)):
-        for h, width, outs in (
-            ("box_head_", 4, locs),
-            ("cls_head_", qp.num_classes, clss),
-        ):
-            hp = qp.heads[f"{h}{i}"]
-            y = _conv(t, hp["kernel"].astype(head_dtype), head_spec, head_dtype)
-            y = y + hp["bias"].astype(head_dtype)
-            outs.append(y.reshape(B, -1, width))
+        # Fused loc+cls head: one conv per tap (see ssdx/model.py _HeadParams
+        # — halves the MXU 128-lane cout-padding passes; same numerics).
+        hl, hc = qp.heads[f"box_head_{i}"], qp.heads[f"cls_head_{i}"]
+        kcat = jnp.concatenate([hl["kernel"], hc["kernel"]], axis=-1)
+        bcat = jnp.concatenate([hl["bias"], hc["bias"]])
+        y = _conv(t, kcat.astype(head_dtype), head_spec, head_dtype)
+        y = y + bcat.astype(head_dtype)
+        loc, cls = jnp.split(y, [k * 4], axis=-1)
+        locs.append(loc.reshape(B, -1, 4))
+        clss.append(cls.reshape(B, -1, qp.num_classes))
     loc_out = jnp.concatenate(locs, axis=1).astype(jnp.float32)
     cls_out = jnp.concatenate(clss, axis=1).astype(jnp.float32)
     assert loc_out.shape[1] == NUM_PRIORS, loc_out.shape
