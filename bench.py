@@ -11,12 +11,35 @@ of devices actually attached.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
+# Pin the CPU ISA so persistently cached XLA:CPU executables (from the
+# CPU-side init below) are reloadable on any host (same rationale as
+# tests/conftest.py).  Must be set before first jax import.
+if "xla_cpu_max_isa" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_cpu_max_isa=AVX2"
+    ).strip()
 
 def main(stem_kernel: bool | None = None) -> None:
     import jax
+
+    # Persistent XLA/Mosaic compile cache (same pattern as tests/conftest.py).
+    # NOTE: must go through jax.config.update — on jax 0.9.0 the
+    # JAX_COMPILATION_CACHE_DIR env var is silently ignored
+    # (config.optional_string_state does not read the environment).  The
+    # fused-stem + fused-head + Pallas-NMS program costs minutes of cold
+    # compile; with the cache warm (we pre-warm it during the round by
+    # running this script) a fresh ``python bench.py`` completes in well
+    # under the driver's capture window.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_ssdx_bench"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -35,8 +58,20 @@ def main(stem_kernel: bool | None = None) -> None:
     # BN with the elementwise passes removed — plus the fused Pallas stem
     # kernel (conv1 block + maxpool; ssdx/ops/pallas_stem.py) unless
     # --no-stem-kernel is passed.
-    base = SSD300(num_classes=6, dtype=jnp.bfloat16)
-    variables = fold_batchnorm(base.init_variables(jax.random.key(0), batch_size=1))
+    #
+    # Init + BN-fold run EAGERLY on the CPU backend, then transfer once:
+    # running them on the attached chip dispatches hundreds of tiny eager ops
+    # over the tunneled transport (~46 ms RTT each) — measured 150+ s of the
+    # old wall time, and another 150 s hidden in warmup blocking on those
+    # in-flight results.  On CPU the same work is < 2 s.
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        base = SSD300(num_classes=6, dtype=jnp.bfloat16)
+        variables = fold_batchnorm(
+            base.init_variables(jax.random.key(0), batch_size=1)
+        )
+    variables = jax.device_put(variables, jax.devices()[0])
+    jax.block_until_ready(variables)
     model = SSD300(
         num_classes=6, dtype=jnp.bfloat16, fold_bn=True, stem_input=stem_kernel
     )
@@ -87,9 +122,12 @@ def main(stem_kernel: bool | None = None) -> None:
         float(c)
         return time.perf_counter() - t0
 
+    # The tunneled transport has tens-of-ms RPC jitter, which can exceed a
+    # single short chain's compute time; take the min of repeated runs of
+    # each chain length before differencing.
     n_small = n_iters // 3
-    t_small = run(n_small)
-    t_full = run(n_iters)
+    t_small = min(run(n_small) for _ in range(3))
+    t_full = min(run(n_iters) for _ in range(3))
     per_iter = (t_full - t_small) / (n_iters - n_small)
 
     images_per_sec = batch_size / per_iter
