@@ -30,10 +30,15 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/conv2_experiments.p
 from __future__ import annotations
 
 import argparse
-import functools
 import time
 
 import jax
+# Persistent compile cache (jax.config.update required on jax 0.9.0; the
+# env var alone is ignored — see bench.py).
+import os as _os
+jax.config.update("jax_compilation_cache_dir",
+                  _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_ssdx_bench"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 import jax.numpy as jnp
 import numpy as np
 
@@ -156,7 +161,11 @@ def check_parity(B=2):
     rng = np.random.default_rng(0)
     w1 = jnp.asarray(rng.normal(0, 0.05, (3, 3, 64, 128)).astype(np.float32))
     x = jnp.asarray(rng.normal(0, 1, (B, H, H, 64)).astype(np.float32)).astype(jnp.bfloat16)
-    ref = _conv(x, w1)
+    ref = jax.lax.conv_general_dilated(
+        x, w1.astype(x.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
     xp = x.reshape(B, H, H // 2, 128)
     ke = jnp.zeros((3, 2, 128, 128), w1.dtype)
     ke = ke.at[:, 0, 64:128, :].set(w1[:, 0])
@@ -181,8 +190,9 @@ def check_parity(B=2):
     y3 = y3.reshape(B, H, H, 128)
     err3 = float(jnp.max(jnp.abs(ref.astype(jnp.float32) - y3.astype(jnp.float32))))
     print(f"parity: packed2 maxerr {err2:.2e}  packedw3 maxerr {err3:.2e}")
-    # bf16 rounding differs across contraction orders; outputs are O(4)
-    assert err2 < 5e-2 and err3 < 5e-2
+    # all three convs accumulate in f32 (preferred_element_type) and round
+    # once to bf16; residual error is one-ulp output rounding on O(4) values
+    assert err2 < 4e-2 and err3 < 4e-2
 
 
 def main():
