@@ -80,6 +80,59 @@ def fig_priors(img300: np.ndarray) -> None:
     plt.close(fig)
 
 
+def _fig_to_frame(fig):
+    """Render a matplotlib figure to a PIL RGB image."""
+    from PIL import Image
+
+    fig.canvas.draw()
+    buf = np.asarray(fig.canvas.buffer_rgba())
+    return Image.fromarray(buf[..., :3])
+
+
+def fig_priors_gif(img300: np.ndarray) -> None:
+    """Animated counterpart of priors_levels.png (reference ships
+    figures/priors_3.gif / priors_5.gif): one frame per feature level,
+    cycling through the six grids' cell sizes and prior shapes."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import Rectangle
+
+    from ssdx.priors import (ASPECT_RATIOS_PER_LEVEL, FEATURE_MAP_SIZES,
+                             _level_whs)
+
+    L = len(FEATURE_MAP_SIZES)
+    s = [0.2 + 0.7 * (l / (L - 1)) for l in range(L)] + [1.0]
+    colors = ["#ff5252", "#ffb300", "#4caf50", "#29b6f6", "#ab47bc", "#ef6c00"]
+    frames = []
+    for l in range(L):
+        H, W = FEATURE_MAP_SIZES[l]
+        fig, ax = plt.subplots(figsize=(5.2, 5.6))
+        ax.imshow(img300, alpha=0.75)
+        for g in range(1, W):
+            ax.axvline(g * 300 / W, color="w", lw=0.4, alpha=0.5)
+            ax.axhline(g * 300 / H, color="w", lw=0.4, alpha=0.5)
+        whs = _level_whs(s[l], float(np.sqrt(s[l] * s[l + 1])),
+                         ASPECT_RATIOS_PER_LEVEL[l])
+        cx = (W // 2 + 0.5) / W * 300
+        cy = (H // 2 + 0.5) / H * 300
+        for j, (w, h) in enumerate(whs):
+            ax.add_patch(Rectangle((cx - w * 150, cy - h * 150), w * 300,
+                                   h * 300, fill=False, lw=1.8,
+                                   edgecolor=colors[j % len(colors)]))
+        ax.set_title(f"level {l}: {H}x{W} cells, k={len(whs)} prior shapes "
+                     f"per cell", fontsize=11)
+        ax.set_xlim(0, 300)
+        ax.set_ylim(300, 0)
+        ax.axis("off")
+        fig.tight_layout()
+        frames.append(_fig_to_frame(fig))
+        plt.close(fig)
+    frames[0].save(OUT / "priors_levels.gif", save_all=True,
+                   append_images=frames[1:], duration=1100, loop=0)
+
+
 def fig_matching(img300, boxes300, labels, class_names) -> None:
     import jax.numpy as jnp
     import matplotlib
@@ -182,6 +235,68 @@ def fig_nms(img300_raw, det) -> None:
         plt.close(fig)
 
 
+def fig_nms_gif(img300_raw, det) -> None:
+    """Animated counterpart of pred_no_nms.png (reference ships
+    figures/pred_no_nms.gif): candidates accumulate in descending score
+    order, then the final frame snaps to the post-NMS detections."""
+    import jax
+    import jax.numpy as jnp
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import Rectangle
+
+    from ssdx import boxes as B
+
+    mean = np.asarray([0.485, 0.456, 0.406], np.float32)
+    std = np.asarray([0.229, 0.224, 0.225], np.float32)
+    norm = ((img300_raw.astype(np.float32) / 255.0 - mean) / std)[None]
+
+    loc, conf = det.forward(jnp.asarray(norm))
+    probs = np.asarray(jax.nn.softmax(conf[0].astype(jnp.float32), axis=-1))[:, 1:]
+    dec = np.asarray(
+        jnp.clip(B.cxcywh_to_xyxy(B.decode(loc[0].astype(jnp.float32),
+                                           det.priors, det.variances)), 0, 1)
+    ) * 300.0
+    pr, cl = np.nonzero(probs > 0.2)
+    order = np.argsort(-probs[pr, cl])
+    pr, cl = pr[order], cl[order]
+    final = det.predict(jnp.asarray(norm), score_thresh=0.2, nms_thresh=0.3,
+                        max_per_img=100)[0]
+
+    n_steps = 6
+    cuts = [max(1, round(len(pr) * (i + 1) / n_steps)) for i in range(n_steps)]
+    frames = []
+    for n in cuts + [None]:  # None = final post-NMS frame
+        fig, ax = plt.subplots(figsize=(5.2, 5.6))
+        ax.imshow(img300_raw)
+        if n is None:
+            for b, sc, l in zip(final["boxes"], final["scores"],
+                                final["labels"]):
+                ax.add_patch(Rectangle((b[0], b[1]), b[2] - b[0], b[3] - b[1],
+                                       fill=False, lw=2.2, edgecolor="red"))
+                ax.text(b[0], b[1] - 3, f"{det.idx_to_class[int(l)]} {sc:.2f}",
+                        color="red", fontsize=9, weight="bold")
+            ax.set_title(f"after greedy DIoU-NMS: {len(final['labels'])} "
+                         "detections", fontsize=11)
+        else:
+            for p in pr[:n]:
+                b = dec[p]
+                ax.add_patch(Rectangle((b[0], b[1]), b[2] - b[0], b[3] - b[1],
+                                       fill=False, lw=0.8, edgecolor="red",
+                                       alpha=0.55))
+            ax.set_title(f"before NMS: top {n} of {len(pr)} candidates "
+                         "(score > 0.2, descending)", fontsize=11)
+        ax.axis("off")
+        fig.tight_layout()
+        frames.append(_fig_to_frame(fig))
+        plt.close(fig)
+    durations = [700] * n_steps + [2200]
+    frames[0].save(OUT / "pred_no_nms.gif", save_all=True,
+                   append_images=frames[1:], duration=durations, loop=0)
+
+
 def main() -> None:
     import cv2
 
@@ -194,6 +309,7 @@ def main() -> None:
     from ssdx.data.synth import CLASSES
 
     fig_priors(img300)
+    fig_priors_gif(img300)
     n_pos = fig_matching(img300, boxes300, labels, CLASSES)
     print(f"matching: {n_pos} positive priors for {len(labels)} GTs")
 
@@ -201,7 +317,8 @@ def main() -> None:
 
     det = create_detector()
     fig_nms(img300, det)
-    print(f"wrote {sorted(p.name for p in OUT.glob('*.png'))}")
+    fig_nms_gif(img300, det)
+    print(f"wrote {sorted(p.name for p in OUT.glob('*'))}")
 
 
 if __name__ == "__main__":
