@@ -253,7 +253,10 @@ def _quantize_act(x, scale):
     return jnp.clip(jnp.round(x / scale), _I8_MIN, _I8_MAX).astype(jnp.int8)
 
 
-def apply_int8(qp: QuantizedSSD, feats: jnp.ndarray, head_dtype=jnp.bfloat16):
+def apply_int8(
+    qp: QuantizedSSD, feats: jnp.ndarray, head_dtype=jnp.bfloat16,
+    compute: str = "auto",
+):
     """Int8 post-stem forward: feats [B,150,150,64] (bf16/f32, from the stem)
     -> (loc [B,8732,4] f32, cls [B,8732,C] f32).
 
@@ -262,13 +265,36 @@ def apply_int8(qp: QuantizedSSD, feats: jnp.ndarray, head_dtype=jnp.bfloat16):
     int8.  Each layer: int8 conv -> int32, then one fused elementwise
     epilogue (dequant + bias + ReLU [+ tap emit] + requant to the next
     layer's scale); pools run on the int8 tensor.
+
+    ``compute``: "int32" contracts int8 x int8 -> int32 — the exact
+    integer semantics the Pallas MXU kernels are oracle-tested against.
+    "f32" casts the int8 operands to f32 and rounds the conv output —
+    XLA:CPU lowers integer convs to scalar code (measured ~50x slower
+    than its vectorized f32 conv at conv3 shape), so this is the CPU
+    serving/test route.  f32 accumulation of the integer products is
+    exact while partial sums stay within the 24-bit mantissa; the deepest
+    layers' worst-case bound exceeds that, so the result is not *proven*
+    bitwise (measured bitwise-equal on worst-case random int8 data and on
+    the calibrated demo weights; any residual difference is one int32
+    step, invisible after the f32 dequant epilogue).  "auto" picks "f32"
+    on CPU backends, "int32" elsewhere.
     """
+    if compute == "auto":
+        compute = "f32" if jax.default_backend() == "cpu" else "int32"
+
+    def conv_q(xq, kernel_q, spec):
+        if compute == "f32":
+            y = _conv(xq.astype(jnp.float32), kernel_q.astype(jnp.float32),
+                      spec, jnp.float32)
+            return jnp.round(y)
+        return _conv(xq, kernel_q, spec, jnp.int32)
+
     taps: list[jnp.ndarray | None] = [None] * 6
     first = qp.layers[_TOPOLOGY[0].name]
     xq = _quantize_act(feats.astype(jnp.float32), first.in_scale)
     for i, spec in enumerate(_TOPOLOGY):
         ql = qp.layers[spec.name]
-        y32 = _conv(xq, ql.kernel_q, spec, jnp.int32)
+        y32 = conv_q(xq, ql.kernel_q, spec)
         # in_scale is folded into kernel_q; w_scale alone dequantizes
         y = y32.astype(jnp.float32) * ql.w_scale + ql.bias
         y = jax.nn.relu(y)

@@ -130,10 +130,10 @@ def create_detector(weights_path: str | os.PathLike | None = None):
     ``SSDX_INT8=1`` additionally quantizes the post-stem backbone to int8
     (ssdx/quant.py), calibrated on the bundled example scenes; prefer
     calibrating on production traffic via ``Detector.quantize_int8`` and
-    passing the detector in explicitly.  Opt-in only: on v5e silicon int8
-    doubles the MXU rate, but the current toolchain lowers int8 convs to
-    the VPU and measures ~40x slower than bf16 — see the ssdx/quant.py
-    docstring before enabling."""
+    passing the detector in explicitly.  On TPU the int8 convs run as
+    Pallas MXU kernels (ssdx/ops/pallas_int8_conv.py); on CPU they run
+    apply_int8's f32 fast route (the XLA scalar int32 path was ~50x
+    slower) — see the ssdx/quant.py docstring."""
     import jax
     import jax.numpy as jnp
 

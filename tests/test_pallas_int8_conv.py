@@ -99,7 +99,11 @@ def test_full_backbone_vs_apply_int8():
     scales = quant.calibrate_act_scales(params, feats)
     qp = quant.quantize_ssd(params, scales, det.num_classes)
 
-    loc_w, cls_w = jax.jit(lambda f: quant.apply_int8(qp, f))(feats)
+    # compute="int32": the oracle must keep exact integer contraction
+    # semantics (apply_int8's CPU default is the f32 fast route)
+    loc_w, cls_w = jax.jit(
+        lambda f: quant.apply_int8(qp, f, compute="int32")
+    )(feats)
     loc_g, cls_g = jax.jit(lambda f: apply_int8_pallas(qp, f, interpret=True))(feats)
     for g, w in ((loc_g, loc_w), (cls_g, cls_w)):
         diff = np.abs(np.asarray(g) - np.asarray(w))

@@ -79,13 +79,36 @@ def test_quantize_ssd_structure(demo_detector):
         assert int(jnp.max(jnp.abs(ql.kernel_q))) == 127
 
 
+def test_f32_compute_route_matches_int32():
+    """apply_int8's CPU fast route (f32-cast conv + round) must reproduce
+    the exact int8 x int8 -> int32 contraction.  Checked directly at the
+    worst-accumulation layer shape (conv6: 9*512 products of magnitude
+    127^2) with full-range random operands — running the whole topology
+    through the scalar int32 CPU path takes minutes, and the layer-level
+    integer identity is the entire difference between the routes."""
+    rng = np.random.default_rng(7)
+    xq = jnp.asarray(rng.integers(-127, 128, (1, 19, 19, 512)).astype(np.int8))
+    kq = jnp.asarray(rng.integers(-127, 128, (3, 3, 512, 64)).astype(np.int8))
+    spec = quant._L("probe", (3, 3), 1, ((6, 6), (6, 6)), 6, None, None)
+    want = quant._conv(xq, kq, spec, jnp.int32)
+    got = jnp.round(
+        quant._conv(xq.astype(jnp.float32), kq.astype(jnp.float32), spec,
+                    jnp.float32)
+    ).astype(jnp.int32)
+    diff = np.abs(np.asarray(want, np.int64) - np.asarray(got, np.int64))
+    # exact in measurement; allow one int32 step for accumulation-order luck
+    assert diff.max() <= 1, diff.max()
+
+
 @pytest.fixture(scope="module")
 def quant_outputs(example_images):
     """Everything both slow tests need, computed with exactly ONE bf16 and
-    ONE int8 full-width forward (the int8 XLA path executes as scalar
-    emulation on this 1-core CPU host — each extra forward is ~2-4 min, so
-    the raw-logit and detection-level assertions share one pass via
-    ``predict_batched(pre_loc_all=..., pre_conf_all=...)``)."""
+    ONE int8 full-width forward, shared between the raw-logit and
+    detection-level assertions via
+    ``predict_batched(pre_loc_all=..., pre_conf_all=...)``.  The int8
+    forward runs apply_int8's CPU f32 fast route (compute="auto"), which
+    test_f32_compute_route_matches_int32 pins to the integer semantics —
+    the scalar int32 CPU path took ~8 min for these three images."""
     det = _demo_detector()
     loc_a, cls_a = det.forward(example_images)
     det_bf = det.predict_batched(
