@@ -145,14 +145,15 @@ def bench_batched(batch_size: int = 32, fold_bn: bool = True,
     from ssdx.predict import postprocess
 
     if stem_kernel is None:
-        # The Pallas stem custom call inside shard_map stalls on the
-        # experimental tunneled (axon) backend (measured: dispatches hang;
-        # plain convs under shard_map run at full speed), so mesh mode
-        # defaults to the conv stem.  On a real multi-chip slice
-        # shard_map+Pallas is the standard pattern — pass stem_kernel=True
-        # to re-enable.
-        stem_kernel = (not use_mesh) and fold_bn and \
-            jax.default_backend() in ("tpu", "axon")
+        # r4 note: the Pallas stem custom call inside shard_map stalled on
+        # the tunneled (axon) transport.  Re-bisected in r5
+        # (scripts/repro_shardmap_pallas.py): Pallas kernels inside
+        # shard_map — elementwise, tiled matmul, and the production stem —
+        # all run correctly now, and this mesh path measures 1,975 img/s
+        # with the stem kernel (vs ~2,010 unmeshed); the stall does not
+        # reproduce on the current toolchain, so mesh mode gets the stem
+        # kernel by default again.
+        stem_kernel = fold_bn and jax.default_backend() in ("tpu", "axon")
     model, variables, priors, _ = _model_and_priors(fold_bn=fold_bn)
     if stem_kernel:
         model = SSD300(num_classes=6, dtype=jnp.bfloat16, fold_bn=True,

@@ -81,7 +81,7 @@ def case_tiny(mesh):
     _run_with_watchdog("tiny outside", jax.jit(k).lower(x).compile().__call__
                        if False else lambda: jax.jit(k)(x))
     sm = jax.jit(jax.shard_map(k, mesh=mesh, in_specs=P("data"),
-                               out_specs=P("data")))
+                               out_specs=P("data"), check_vma=False))
     _run_with_watchdog("tiny inside shard_map", lambda: sm(x))
 
 
@@ -107,7 +107,7 @@ def case_matmul(mesh):
 
     _run_with_watchdog("matmul outside", lambda: jax.jit(k)(x, y))
     sm = jax.jit(jax.shard_map(k, mesh=mesh, in_specs=(P("data"), P()),
-                               out_specs=P("data")))
+                               out_specs=P("data"), check_vma=False))
     _run_with_watchdog("matmul inside shard_map", lambda: sm(x, y))
 
 
@@ -131,7 +131,8 @@ def case_stem(mesh):
 
     _run_with_watchdog("stem outside", lambda: jax.jit(k)(x))
     sm = jax.jit(jax.shard_map(k, mesh=mesh,
-                               in_specs=P("data"), out_specs=P("data")))
+                               in_specs=P("data"), out_specs=P("data"),
+                               check_vma=False))
     _run_with_watchdog("stem inside shard_map", lambda: sm(x))
 
 
