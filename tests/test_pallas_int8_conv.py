@@ -99,10 +99,14 @@ def test_full_backbone_vs_apply_int8():
     scales = quant.calibrate_act_scales(params, feats)
     qp = quant.quantize_ssd(params, scales, det.num_classes)
 
-    # compute="int32": the oracle must keep exact integer contraction
-    # semantics (apply_int8's CPU default is the f32 fast route)
+    # The reference side runs apply_int8's f32 fast route: it is pinned to
+    # the exact int32 contraction by tests/test_quant.py::
+    # test_f32_compute_route_matches_int32 (at the worst-accumulation layer
+    # shape), and the scalar int32 CPU walk costs ~150 s for one image.
+    # Any residual one-int32-step difference is far inside the 0.25
+    # dequantized-domain tolerance below.
     loc_w, cls_w = jax.jit(
-        lambda f: quant.apply_int8(qp, f, compute="int32")
+        lambda f: quant.apply_int8(qp, f, compute="f32")
     )(feats)
     loc_g, cls_g = jax.jit(lambda f: apply_int8_pallas(qp, f, interpret=True))(feats)
     for g, w in ((loc_g, loc_w), (cls_g, cls_w)):
