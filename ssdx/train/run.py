@@ -13,9 +13,22 @@ Usage: ``python -m ssdx.train.run --train-dir data/train [--config cfg.json]
 from __future__ import annotations
 
 import argparse
+import os
 from pathlib import Path
 
 import jax
+
+# Persistent compile cache: honor JAX_COMPILATION_CACHE_DIR.  On jax 0.9.0
+# the env var alone is silently ignored (config.optional_string_state does
+# not read the environment — see bench.py), so route it through
+# jax.config.update.  This matters for chunked/resumed runs: the full train
+# step costs minutes of cold compile per process on a tunneled backend.
+if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import jax.numpy as jnp
 import numpy as np
 
