@@ -17,6 +17,12 @@ import functools
 import time
 
 import jax
+# Persistent compile cache (jax.config.update required on jax 0.9.0; the
+# env var alone is ignored — see bench.py).
+import os as _os
+jax.config.update("jax_compilation_cache_dir",
+                  _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_ssdx_bench"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 import jax.numpy as jnp
 import numpy as np
 
